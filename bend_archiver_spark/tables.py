@@ -1,0 +1,55 @@
+"""Test-data table loaders.
+
+The driver-generated parquet (`TESTDATA.md`) includes one quirk: the
+``events`` table's ``ts`` column is parquet ``TIMESTAMP(NANOS)``, which
+Spark rejects (`PARQUET_TYPE_ILLEGAL`) while DuckDB truncates to
+micros. We read nanos as long (``spark.sql.legacy.parquet.nanosAsLong``)
+and convert to ``TimestampType`` at micro precision, matching the
+DuckDB oracle's view of the same file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# columns stored as TIMESTAMP(NANOS) per table
+_NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table, normalizing nano-timestamps."""
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    nano_cols = _NANO_TS_COLS.get(name, [])
+    if not nano_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        df = df.withColumn(
+            c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` use."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
