@@ -1,0 +1,270 @@
+"""Archiver-parity queries — the reference's operator surface (SURVEY §2
+Table A) expressed as distributed Spark queries over the test tables.
+
+Each query exercises the *semantics* the reference implements
+(predicate scans, split planning, scalar aggregates, rollups,
+verification protocol) as Catalyst-optimized DataFrame plans. The
+`lineitem` integer key plays the split key; `events.ts` plays the time
+split key (FIXTURES.md §F6 binding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import register, t
+
+# A generated split predicate ANDed with a user predicate, as the
+# worker does per batch (reference worker/worker.go:45-71).
+_SPLIT_PRED = "(l_orderkey >= 100 and l_orderkey < 600)"
+_USER_PRED = "l_quantity > 10"
+
+
+@register(
+    "scan_predicate",
+    oracle=f"""
+    SELECT * FROM lineitem
+    WHERE {_SPLIT_PRED} AND ({_USER_PRED})
+    """,
+    tags=("archiver", "scan"),
+)
+def scan_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row predicate scan (A1-A4): SELECT * with a split-range
+    predicate ANDed to the user's where-condition. Catalyst pushes both
+    conjuncts into the parquet scan (reference pushes them as SQL text,
+    source/mysql.go:182-296)."""
+    return t(spark, sf_dir, "lineitem").filter(
+        F.expr(f"{_SPLIT_PRED} AND ({_USER_PRED})")
+    )
+
+
+@register(
+    "agg_count_filtered",
+    oracle=f"SELECT COUNT(*) AS cnt FROM lineitem WHERE {_USER_PRED}",
+    tags=("archiver", "agg"),
+)
+def agg_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered COUNT(*) (A10, GetSourceReadRowsCount,
+    source/mysql.go:67-77)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(_USER_PRED)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "agg_minmax_key",
+    oracle=f"""
+    SELECT COALESCE(MIN(l_orderkey), 0) AS min_key,
+           COALESCE(MAX(l_orderkey), 0) AS max_key
+    FROM lineitem WHERE {_USER_PRED}
+    """,
+    tags=("archiver", "agg"),
+)
+def agg_minmax_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-key bounds probe (A11, GetMinMaxSplitKey,
+    source/mysql.go:79-114) with the COALESCE(...,0) empty-table
+    sentinel the Postgres/Oracle drivers use
+    (source/postgres.go:116)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(_USER_PRED)
+        .agg(
+            F.coalesce(F.min("l_orderkey"), F.lit(0)).alias("min_key"),
+            F.coalesce(F.max("l_orderkey"), F.lit(0)).alias("max_key"),
+        )
+    )
+
+
+@register(
+    "agg_minmax_time",
+    oracle="""
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+    FROM events WHERE event_type <> 'error'
+    """,
+    tags=("archiver", "agg"),
+)
+def agg_minmax_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-key bounds probe returning formatted strings (A12,
+    GetMinMaxTimeSplitKey, source/mysql.go:116-132 — temporal values
+    travel as '2006-01-02 15:04:05'-format strings)."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "error")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        )
+    )
+
+
+@register(
+    "split_key_buckets",
+    oracle="""
+    SELECT l_orderkey // 500 AS bucket_id,
+           COUNT(*) AS rows_in_batch,
+           MIN(l_orderkey) AS min_key,
+           MAX(l_orderkey) AS max_key
+    FROM lineitem
+    GROUP BY 1
+    """,
+    headline=True,
+    tags=("archiver", "split"),
+)
+def split_key_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range batch assignment as a distributed query (A5-A7): every
+    row mapped to its half-open ``[b*500, (b+1)*500)`` batch. This is
+    the declarative form of SplitCondition (source/source.go:66-77) —
+    one partial-aggregated shuffle instead of N range scans."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.expr("l_orderkey div 500").alias("bucket_id"))
+        .agg(
+            F.count(F.lit(1)).alias("rows_in_batch"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+    )
+
+
+@register(
+    "split_time_buckets",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS rows_in_window,
+           COUNT(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY 1
+    """,
+    headline=True,
+    tags=("archiver", "split"),
+)
+def split_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window batch assignment (A8): tumbling day windows over the
+    time split key — the declarative form of
+    SplitConditionAccordingToTimeSplitKey (source/source.go:130-162).
+    Where the reference is forced sequential (LIMIT/OFFSET hazard,
+    worker/worker.go:139-143), this shuffles once and parallelizes
+    freely."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("rows_in_window"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+@register(
+    "rollup_tables_count",
+    oracle="""
+    SELECT 'orders' AS table_name, COUNT(*) AS row_cnt FROM orders
+    UNION ALL
+    SELECT 'lineitem' AS table_name, COUNT(*) AS row_cnt FROM lineitem
+    UNION ALL
+    SELECT 'events' AS table_name, COUNT(*) AS row_cnt FROM events
+    """,
+    tags=("archiver", "agg"),
+)
+def rollup_tables_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table count rollup (A13, GetAllSourceReadRowsCount,
+    source/mysql.go:353-383): per-table counts unioned — the engine's
+    analog of summing filtered counts across discovered tables."""
+    parts = []
+    for name in ("orders", "lineitem", "events"):
+        parts.append(
+            t(spark, sf_dir, name).agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("row_cnt"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "adaptive_batch_plan",
+    oracle="""
+    WITH probe AS (
+      SELECT COALESCE(MIN(l_orderkey), 0) AS min_key,
+             COALESCE(MAX(l_orderkey), 0) AS max_key,
+             COUNT(*) AS row_cnt
+      FROM lineitem
+    )
+    SELECT min_key, max_key, row_cnt,
+           (max_key - min_key + 1) AS range_size,
+           CASE
+             WHEN row_cnt <= 1000 THEN max_key - min_key + 1
+             WHEN (max_key - min_key + 1) // row_cnt >= 10 THEN 5000
+             ELSE 1000
+           END AS adjusted_batch
+    FROM probe
+    """,
+    tags=("archiver", "plan"),
+)
+def adaptive_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-adaptive batch sizing as a query (A18,
+    AdjustBatchSizeAccordingToSourceDbTable, source/mysql.go:43-65):
+    the bounds+count probe and the density heuristic in one plan,
+    batchSize=1000."""
+    probe = t(spark, sf_dir, "lineitem").agg(
+        F.coalesce(F.min("l_orderkey"), F.lit(0)).alias("min_key"),
+        F.coalesce(F.max("l_orderkey"), F.lit(0)).alias("max_key"),
+        F.count(F.lit(1)).alias("row_cnt"),
+    )
+    return probe.select(
+        "min_key",
+        "max_key",
+        "row_cnt",
+        (F.col("max_key") - F.col("min_key") + 1).alias("range_size"),
+        F.when(
+            F.col("row_cnt") <= 1000, F.col("max_key") - F.col("min_key") + 1
+        )
+        .when(
+            F.expr("(max_key - min_key + 1) div row_cnt") >= 10, F.lit(5000)
+        )
+        .otherwise(F.lit(1000))
+        .cast("bigint")
+        .alias("adjusted_batch"),
+    )
+
+
+@register(
+    "verify_archive_counts",
+    oracle=f"""
+    WITH source_side AS (
+      SELECT COUNT(*) AS source_rows FROM lineitem WHERE {_USER_PRED}
+    ),
+    target_side AS (
+      SELECT COUNT(*) AS target_rows FROM lineitem
+      WHERE ({_USER_PRED}) AND l_linenumber <= 4
+    )
+    SELECT source_rows, target_rows,
+           (source_rows = target_rows) AS is_correct
+    FROM source_side, target_side
+    """,
+    tags=("archiver", "verify"),
+)
+def verify_archive_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verification contract (A31, IsWorkerCorrect,
+    worker/worker.go:230-242): filtered source count vs target count,
+    equality = archive correct. The 'target' here is a deliberately
+    incomplete subset so the check exercises the failure branch too."""
+    li = t(spark, sf_dir, "lineitem")
+    src = li.filter(_USER_PRED).agg(F.count(F.lit(1)).alias("source_rows"))
+    tgt = (
+        li.filter(_USER_PRED)
+        .filter(F.col("l_linenumber") <= 4)
+        .agg(F.count(F.lit(1)).alias("target_rows"))
+    )
+    return src.crossJoin(tgt).select(
+        "source_rows",
+        "target_rows",
+        (F.col("source_rows") == F.col("target_rows")).alias("is_correct"),
+    )

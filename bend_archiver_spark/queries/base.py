@@ -1,0 +1,112 @@
+"""Query-suite plumbing: registry + oracle-matching helpers.
+
+Every operator the engine claims is registered here as a
+:class:`QuerySpec` — a Spark implementation plus (where expressible)
+an ANSI-SQL oracle string DuckDB can run on the same parquet files.
+The driver compares the two (row count + schema + order-insensitive
+value hash with columns sorted by name), so:
+
+- every computed column is aliased identically on both sides;
+- double-typed aggregates go through an **exact decimal sum** then one
+  cast to double, making the result bit-identical regardless of
+  partitioning/aggregation order (float addition is not associative;
+  decimal addition is);
+- timestamps are exchanged at micro precision in a UTC session.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+__all__ = ["QuerySpec", "REGISTRY", "register", "t", "dec_sum", "dec_avg", "hash64_expr", "HASH64_SQL"]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    headline: bool = False  # include in bench.py
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    """Decorator: register a Spark query implementation."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, headline, tags)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shorthand table loader."""
+    return load_table(spark, sf_dir, name)
+
+
+def dec_sum(col: Column, alias: str) -> Column:
+    """Order-independent double sum: per-row cast to DECIMAL(38,6)
+    (exact, associative addition) -> one final cast to double.
+
+    Oracle twin: ``CAST(SUM(CAST(expr AS DECIMAL(38,6))) AS DOUBLE)``.
+    Doubles are dyadic rationals so the 6-dp rounding has no decimal
+    ties — both engines round identically.
+    """
+    return F.sum(col.cast("decimal(38,6)")).cast("double").alias(alias)
+
+
+def dec_avg(col: Column, alias: str) -> Column:
+    """Order-independent double average (exact decimal sum / count)."""
+    return (
+        F.sum(col.cast("decimal(38,6)")).cast("double") / F.count(col)
+    ).alias(alias)
+
+
+def o_dec_sum(expr: str, alias: str) -> str:
+    """Oracle-side twin of :func:`dec_sum` (module-level helper for
+    building SQL strings)."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+
+
+def o_dec_avg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable deterministic 60-bit hash — identical in Spark and DuckDB.
+# Spark:  conv(substr(md5(s),1,15),16,10) cast to bigint
+# DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT
+# 15 hex digits = 60 bits, fits bigint; md5 is available in both engines.
+# This is the foundation for MinHash/SimHash parity with the oracle.
+# ---------------------------------------------------------------------------
+
+
+def hash64_expr(col: Column) -> Column:
+    """60-bit deterministic hash of a string column (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def hash64_sql(expr: str) -> str:
+    """60-bit deterministic hash (DuckDB side)."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+HASH64_SQL = hash64_sql

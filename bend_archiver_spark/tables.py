@@ -39,9 +39,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_cols:
-        df = df.withColumn(
-            c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
-        )
+        # integer division: `/` would go through double and lose precision
+        # (nanos-since-epoch ~1.7e18 > 2^53)
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df
 
 

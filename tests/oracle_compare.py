@@ -1,0 +1,133 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each registered query on Spark and its oracle SQL on DuckDB over
+the same parquet files, then compares row count, schema shape, and an
+order-insensitive value hash with columns sorted by name — the same
+contract the driver applies at sf0.01.
+
+Usage:
+    python -m tests.oracle_compare            # all queries, sf0.001
+    python -m tests.oracle_compare tpch_q1    # subset
+    SF_DIR=/root/testdata/sf0.01 python -m tests.oracle_compare
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # floats should be bit-identical by construction; repr keeps
+        # full precision so any drift is caught, not hidden
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if hasattr(v, "item"):  # numpy scalars
+        return _norm_cell(v.item())
+    return v
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(_norm_cell(v) for v in row))
+    out.sort(key=repr)
+    return out
+
+
+def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict:
+    res = {
+        "rows_spark": len(spark_pdf),
+        "rows_duck": len(duck_pdf),
+        "cols_spark": sorted(spark_pdf.columns),
+        "cols_duck": sorted(duck_pdf.columns),
+    }
+    res["rows_match"] = res["rows_spark"] == res["rows_duck"]
+    res["cols_match"] = res["cols_spark"] == res["cols_duck"]
+    if not (res["rows_match"] and res["cols_match"]):
+        res["values_match"] = False
+        return res
+    a, b = canonical_rows(spark_pdf), canonical_rows(duck_pdf)
+    res["values_match"] = a == b
+    if not res["values_match"]:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        res["first_diffs"] = diffs
+    return res
+
+
+def run(names: list[str] | None = None, sf_dir: str | None = None) -> bool:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bend_archiver_spark.queries import REGISTRY
+    from bend_archiver_spark.session import get_spark
+
+    sf_dir = sf_dir or os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    spark = get_spark("oracle_compare", shuffle_partitions=8)
+    con = duck_con(sf_dir)
+    selected = names or list(REGISTRY)
+    ok = True
+    for name in selected:
+        spec = REGISTRY[name]
+        try:
+            spark_pdf = spec.spark(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            ok = False
+            continue
+        if spec.oracle is None:
+            print(f"rows-only  {name}: {len(spark_pdf)} rows")
+            continue
+        try:
+            duck_pdf = con.execute(spec.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            ok = False
+            continue
+        res = compare_frames(spark_pdf, duck_pdf)
+        status = "OK  " if (res["rows_match"] and res["cols_match"] and res["values_match"]) else "FAIL"
+        if status == "FAIL":
+            ok = False
+            print(f"{status}  {name}: {res}")
+        else:
+            print(f"{status}  {name}: {res['rows_spark']} rows")
+    return ok
+
+
+if __name__ == "__main__":
+    sys.exit(0 if run(sys.argv[1:] or None) else 1)
