@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the suite's headline queries plus the
+archive-sync pipeline at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints one JSON line.
+
+Baseline protocol (BASELINE.md): archive_sync mirrors the reference's
+production-sample shape — partitioned extract of lineitem with
+batchSize=40000-equivalent partitions — and the headline queries cover
+the relational/split surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bend_archiver_spark.config import Config
+from bend_archiver_spark.job import FileArchiveJob
+from bend_archiver_spark.queries import REGISTRY
+from bend_archiver_spark.session import get_spark
+from bend_archiver_spark.tables import load_table
+
+
+def force(df) -> int:
+    """Materialize a DataFrame fully without driver-side collect."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+
+    # headline queries
+    for name, spec in REGISTRY.items():
+        if not spec.headline:
+            continue
+        df = spec.spark(spark, sf_dir)
+        t0 = time.monotonic()
+        force(df)
+        timings[name] = round(time.monotonic() - t0, 4)
+
+    # archive-sync pipeline (reference production shape: ~40k rows per
+    # partition over the split key, extract -> write -> verify)
+    target = tempfile.mkdtemp(prefix="bench_archive_")
+    shutil.rmtree(target, ignore_errors=True)
+    try:
+        cfg = Config(
+            source_table="lineitem",
+            source_split_key="l_orderkey",
+            source_where_condition="l_quantity > 0",
+            batch_size=40000,
+            max_thread=5,
+            target_path=target,
+            target_format="parquet",
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        t0 = time.monotonic()
+        report = FileArchiveJob(spark, cfg, li).run(check_idempotency=False)
+        timings["archive_sync"] = round(time.monotonic() - t0, 4)
+        if not report.verify.is_correct:
+            print(
+                f"WARN archive_sync verify mismatch: {report.verify}",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

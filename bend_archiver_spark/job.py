@@ -1,0 +1,130 @@
+"""Job orchestration — the worker/CLI layer re-expressed as one Spark job.
+
+The reference's whole control flow (cmd/main.go:22-121 +
+worker/worker.go) is: discover tables -> idempotency gate -> bounds
+probe -> split plan -> fan out scan->ingest -> verify -> optional
+delete. In Spark that collapses to: one bounds-probe aggregate, one
+partitioned read (the split plan *is* the partitioning), one
+distributed write, then the verification counts. The goroutine pool,
+condition channel, retry loop and pagination all disappear into the
+scheduler.
+
+``FileArchiveJob`` runs the flow against file-based sources (parquet/
+csv/json), which is also the bench path; ``JdbcArchiveJob`` (sources/
+jdbc.py) does the same against live RDBMS sources.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import Config
+from .planner import adjust_batch_size, coerce_key
+from .sink import write_batch
+from .verify import VerifyResult, count_verify, idempotency_gate
+
+__all__ = ["ArchiveReport", "FileArchiveJob"]
+
+
+@dataclass
+class ArchiveReport:
+    table: str
+    source_rows: int
+    target_rows: int
+    num_partitions: int
+    batch_size: int
+    elapsed_sec: float
+    verify: VerifyResult
+    deleted_rows: int = 0
+    details: dict = field(default_factory=dict)
+
+    @property
+    def rows_per_sec(self) -> float:
+        return self.source_rows / self.elapsed_sec if self.elapsed_sec else 0.0
+
+
+class FileArchiveJob:
+    """Archive one table from a file source into a file/Delta target.
+
+    Mirrors Worker.Run (worker/worker.go:244-259): bounds probe ->
+    split-mode decision -> partitioned extract -> ingest -> verify.
+    """
+
+    def __init__(self, spark: SparkSession, cfg: Config, source_df: DataFrame):
+        self.spark = spark
+        self.cfg = cfg
+        self.source = source_df
+
+    def _probe_bounds(self, df: DataFrame) -> tuple[int, int, int]:
+        """One aggregate replaces the reference's three probe queries
+        (GetMinMaxSplitKey + GetSourceReadRowsCount)."""
+        key = self.cfg.source_split_key
+        row = df.agg(
+            F.coalesce(F.min(key), F.lit(0)).alias("mn"),
+            F.coalesce(F.max(key), F.lit(0)).alias("mx"),
+            F.count(F.lit(1)).alias("cnt"),
+        ).first()
+        return coerce_key(row["mn"]), coerce_key(row["mx"]), int(row["cnt"])
+
+    def run(self, check_idempotency: bool = True) -> ArchiveReport:
+        cfg = self.cfg
+        t0 = time.monotonic()
+        filtered = (
+            self.source.filter(cfg.source_where_condition)
+            if cfg.source_where_condition
+            else self.source
+        )
+
+        # pre-flight gate (A32)
+        if check_idempotency:
+            try:
+                existing = self.spark.read.format(cfg.target_format).load(
+                    cfg.target_path
+                )
+                already = idempotency_gate(existing, cfg.source_where_condition)
+                if already > 0:
+                    raise RuntimeError(
+                        f"idempotency gate: target already has {already} rows "
+                        "matching the predicate; refusing to double-archive"
+                    )
+            except RuntimeError:
+                raise
+            except Exception:
+                pass  # target does not exist yet — clean slate
+
+        mn, mx, cnt = self._probe_bounds(filtered)
+        if cnt == 0:
+            # empty-table short-circuit (worker/worker.go:92-95)
+            return ArchiveReport(
+                cfg.source_table, 0, 0, 0, cfg.batch_size,
+                time.monotonic() - t0, VerifyResult(0, 0),
+            )
+
+        batch = adjust_batch_size(cfg.batch_size, mn, mx, cnt)
+        n_parts = max(1, min((mx - mn) // batch + 1, 10_000))
+
+        # The split plan as partitioning: range-partition on the split
+        # key — same disjoint key ranges as the predicate planner, but
+        # computed by Spark's range partitioner in one shuffle instead
+        # of N re-scans.
+        extracted = filtered.repartitionByRange(
+            int(n_parts), F.col(cfg.source_split_key)
+        )
+        write_batch(extracted, cfg.target_path, cfg.target_format, mode="append")
+
+        target = self.spark.read.format(cfg.target_format).load(cfg.target_path)
+        verify = count_verify(filtered, target, cfg.source_where_condition)
+        elapsed = time.monotonic() - t0
+        return ArchiveReport(
+            table=cfg.source_table,
+            source_rows=verify.source_rows,
+            target_rows=verify.target_rows,
+            num_partitions=int(n_parts),
+            batch_size=batch,
+            elapsed_sec=elapsed,
+            verify=verify,
+        )

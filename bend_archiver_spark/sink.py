@@ -1,0 +1,84 @@
+"""Warehouse sinks.
+
+Capability parity with the reference ingest path (A25-A29):
+NDJSON serialize -> stage upload -> ``COPY INTO``
+(ingester/ingest_databend.go:74-195). Spark-first, the sink is a
+direct distributed write — no local temp files, no presigned-URL hop;
+each task writes its partition straight to the target filesystem /
+object store, which is exactly the role the stage played.
+
+Formats:
+- ``parquet`` (default) — columnar, the scale path.
+- ``ndjson``  — byte-compatible with the reference's stage files
+  (one JSON object per line, NULLs as ``null``; source/source.go:164-189).
+- ``delta``   — used when delta-spark is installed (gated import).
+- ``jdbc``    — passthrough for real warehouse targets; for Databend
+  the ``COPY INTO`` SQL is generated for execution via a JDBC
+  statement, mirroring ingest_databend.go:182-195.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+__all__ = ["write_batch", "copy_into_sql", "SinkResult"]
+
+
+@dataclass
+class SinkResult:
+    path: str
+    format: str
+    rows: int | None = None
+
+
+def write_batch(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> SinkResult:
+    """Distributed write of one batch/table. ``mode='append'`` matches
+    the reference's COPY INTO accumulation semantics."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "ndjson":
+        # line-delimited JSON, NULL fields serialized as null — matches
+        # the reference's stage-file format (source/source.go:172-180)
+        writer.option("ignoreNullFields", "false").json(path)
+    elif fmt == "delta":
+        try:
+            writer.format("delta").save(path)
+        except Exception as e:  # pragma: no cover - delta not installed here
+            raise RuntimeError(
+                "delta-spark not available in this environment"
+            ) from e
+    else:
+        raise ValueError(f"unsupported sink format: {fmt}")
+    return SinkResult(path=path, format=fmt)
+
+
+def copy_into_sql(
+    target_table: str,
+    stage_location: str,
+    purge: bool = True,
+    force: bool = False,
+    disable_variant_check: bool = True,
+) -> str:
+    """Generate the warehouse ``COPY INTO`` statement for Databend
+    targets (parity: ingester/ingest_databend.go:182-195). Executed via
+    a JDBC statement when archiving into an actual Databend warehouse;
+    file-based sinks don't need it."""
+    return (
+        f"COPY INTO {target_table} FROM {stage_location} "
+        "FILE_FORMAT = (type = NDJSON missing_field_as = FIELD_DEFAULT "
+        "COMPRESSION = AUTO) "
+        f"PURGE = {str(purge).lower()} "
+        f"FORCE = {str(force).lower()} "
+        f"DISABLE_VARIANT_CHECK = {str(disable_variant_check).lower()}"
+    )
