@@ -5,5 +5,9 @@ from .base import REGISTRY, QuerySpec
 
 from . import archiver  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
+from . import text  # noqa: F401,E402
+from . import dedup  # noqa: F401,E402
+from . import similarity  # noqa: F401,E402
+from . import multimodal  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec"]

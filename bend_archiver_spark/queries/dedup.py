@@ -1,0 +1,465 @@
+"""Deduplication operators for training-data pipelines.
+
+The full near-dup toolkit over ``documents``/``embeddings``:
+
+- exact dedup (content hash, token-set hash)
+- n-gram Jaccard near-dup (exact pairwise)
+- MinHash + LSH banding (the 100 TB scale path: candidates from
+  band-bucket joins, exact Jaccard verification on candidates only)
+- SimHash (bitwise fingerprint + Hamming-distance pairs)
+- embedding-cosine near-dup
+
+Every operator — including MinHash and SimHash — has an exact DuckDB
+oracle: all hashing is built on the portable md5-derived 60-bit hash
+(queries/base.py) and modular arithmetic that both engines evaluate
+identically in 64-bit integers, so signatures match bit-for-bit.
+
+Scale design: the MinHash path is the one that survives 100 TB —
+shingle->signature is one shuffle-free projection + one groupBy,
+banding is a cheap explode, and the candidate join touches only
+band-collided pairs. The exact O(n^2) variants (ngram_jaccard,
+embedding cosine pairs) are the small-data oracles those candidates
+are verified against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import hash64_expr, hash64_sql, register, t
+
+# --- shared constants (identical on both engines) --------------------
+_P = 2147483647  # 2^31 - 1, prime; products stay < 2^62 in int64
+_PERMS = [
+    (695425565, 2035525362), (323946140, 847876999),
+    (1397871145, 103694312), (155555738, 1763673106),
+    (1150797846, 202142728), (785310973, 1251527726),
+    (124551739, 1953574602), (1089709947, 461060838),
+    (80521325, 184570285), (931247022, 898017869),
+    (150013384, 516819858), (194804717, 1183364967),
+    (911648020, 126938843), (1775651416, 1214302567),
+    (265862674, 2034632750), (479402029, 1354258844),
+]
+_N_BANDS, _BAND_ROWS = 4, 4  # 16 sigs = 4 bands x 4 rows
+_JACCARD_THRESHOLD = 0.7
+_SIMHASH_BITS = 60  # our portable hash is 60-bit
+_HAMMING_MAX = 10
+_COSINE_THRESHOLD = 0.45
+
+# word 3-gram shingles: discriminative even over a small vocabulary
+# (single tokens make every doc pair look similar in this corpus)
+_TOKS_SQL = r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents
+    )
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(0, greatest(len(arr) - 2, 0)),
+                  i -> array_to_string(list_slice(arr, i + 1, i + 3), ' '))) AS tok
+    FROM words
+"""
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word 3-gram shingles per document (the dedup unit)."""
+    d = t(spark, sf_dir, "documents")
+    arr = F.split(F.trim(F.lower("text")), r"\s+")
+    n = F.size(arr)
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, F.lit(3))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", F.explode(shingles).alias("tok"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_key,
+           MIN(doc_id) AS keeper_doc,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized content hash: one hash-groupBy, the
+    keeper is the minimum doc_id per group. At scale this is a single
+    map-side-combined shuffle on the 128-bit key."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    return (
+        d.groupBy(F.md5(norm).alias("content_key"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_tokenset",
+    oracle="""
+    WITH keys AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS set_key
+      FROM documents
+    )
+    SELECT set_key, MIN(doc_id) AS keeper_doc, COUNT(*) AS n_members,
+           (COUNT(*) > 1) AS is_dup_group
+    FROM keys GROUP BY set_key
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the sorted distinct-token *set* — catches
+    reorderings/repetitions that content-hash dedup misses (the
+    synthetic corpus plants such pairs: word-set Jaccard 1.0 with
+    different surface text)."""
+    d = t(spark, sf_dir, "documents")
+    set_key = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+            ),
+        )
+    )
+    return (
+        d.select("doc_id", set_key.alias("set_key"))
+        .groupBy("set_key")
+        .agg(
+            F.min("doc_id").alias("keeper_doc"),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) > 1).alias("is_dup_group"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# N-gram Jaccard (exact pairwise — the verification oracle)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (threshold 0.7, word 3-gram shingles) via
+    shingle self-join. O(collisions) not O(n^2) — only token-sharing
+    pairs materialize — but still the brute-force baseline; the
+    MinHash-LSH operator below is the scale path."""
+    toks = _tokens(spark, sf_dir)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        ta.join(tb, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n           ".join(
+        f"MIN(({a} * hv + {b}) % {_P}) AS s{i}"
+        for i, (a, b) in enumerate(_PERMS)
+    )
+    return f"""
+    sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM h GROUP BY doc_id
+    )"""
+
+
+def _band_union_sql() -> str:
+    parts = []
+    for j in range(_N_BANDS):
+        cols = ", ".join(f"s{j * _BAND_ROWS + r}" for r in range(_BAND_ROWS))
+        parts.append(
+            f"SELECT doc_id, {j} AS band_idx, concat_ws('_', {cols}) AS band_key FROM sig"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    h AS (SELECT doc_id, ({hash64_sql('tok')} % {_P}) AS hv FROM toks),
+    {_minhash_sig_sql()},
+    bands AS ({_band_union_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
+    """,
+    headline=True,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4 rows) near-dup detection with
+    exact-Jaccard verification of candidates.
+
+    Scale path: signatures are one groupBy over the token stream
+    (map-side combined mins); banding is a 4-row explode; the
+    candidate join only touches band-collided pairs — never O(n^2).
+    The signature arithmetic ((a*h + b) mod 2^31-1 over the portable
+    60-bit hash) is pure int64 math, bit-identical in the DuckDB
+    oracle, so this probabilistic operator is still exactly checkable.
+    """
+    toks = _tokens(spark, sf_dir)
+    h = toks.select("doc_id", (hash64_expr(F.col("tok")) % _P).alias("hv"))
+    sig = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % _P).alias(f"s{i}")
+            for i, (a, b) in enumerate(_PERMS)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"s{j * _BAND_ROWS + r}")
+                    for r in range(_BAND_ROWS)
+                ],
+            )
+            for j in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+    )
+    cand = (
+        ba.join(bb, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    h AS (SELECT doc_id, {hash64_sql('tok')} AS hv FROM toks),
+    bits AS (
+      SELECT doc_id, unnest(range(0, {_SIMHASH_BITS})) AS bit, hv FROM h
+    ),
+    sums AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN ((hv >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      FROM bits GROUP BY doc_id, bit
+    ),
+    sims AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      FROM sums GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit majority-vote fingerprint over token
+    hashes, pairs within Hamming distance 10. The fingerprint itself is
+    one groupBy; at scale the pair search banding is by simhash prefix
+    (here the corpus is small enough for the direct self-join — the
+    fingerprint math, which is the oracle-checked part, is identical
+    either way)."""
+    toks = _tokens(spark, sf_dir)
+    h = toks.select("doc_id", hash64_expr(F.col("tok")).alias("hv"))
+    bits = h.select(
+        "doc_id",
+        "hv",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"),
+    )
+    contrib = F.when(
+        F.expr("(hv >> bit) & 1") == 1, F.lit(1)
+    ).otherwise(F.lit(-1))
+    sums = bits.groupBy("doc_id", "bit").agg(F.sum(contrib).alias("s"))
+    sims = sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    sa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return (
+        sa.crossJoin(sb)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+    )
+
+
+# ---------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------
+
+_COSINE_PAIR_SQL = f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xq,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SUM(xq * xq) AS nrm FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.xq * b.xq) AS dot
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+          >= {_COSINE_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_COSINE_PAIR_SQL,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45): exact
+    all-pairs cosine over quantized components (round(x*1e6) as int64)
+    so every dot product and norm is exact integer arithmetic —
+    bit-identical to the oracle with no float-accumulation ambiguity.
+    The brute-force baseline; the LSH-bucketed variant in
+    queries/similarity.py is the scale path that avoids the O(n^2)
+    pair join."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.posexplode("embedding").alias("i", "x")).select(
+        "vec_id",
+        "i",
+        F.round(F.col("x").cast("double") * 1_000_000, 0).cast("long").alias("xq"),
+    )
+    norms = e.groupBy("vec_id").agg(F.sum(F.col("xq") * F.col("xq")).alias("nrm"))
+    ea = e.select(F.col("vec_id").alias("vec_a"), "i", F.col("xq").alias("qa"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), "i", F.col("xq").alias("qb"))
+    dots = (
+        ea.join(eb, "i")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _COSINE_THRESHOLD)
+    )

@@ -1,0 +1,317 @@
+"""Similarity search over embedding vectors.
+
+- ``ann_topk_bruteforce``: exact cosine top-k for a query set — the
+  correctness baseline.
+- ``ann_lsh_bucketed``: random-hyperplane LSH — each vector lands in a
+  sign-pattern bucket; the search only compares vectors sharing the
+  query's bucket. Hyperplanes are pseudo-random ±1 vectors derived
+  from the portable md5 hash, so bucketing + rerank are deterministic
+  and exactly oracle-checkable.
+- ``embedding_label_stats``: the profiling pass before indexing.
+
+Numeric determinism: float components are quantized to integers
+(``round(x * 1e6)`` as int64) before any accumulation, so every dot
+product and norm is **exact int64 arithmetic** — bit-identical across
+engines and partitionings. (Accumulating doubles via decimal casts is
+NOT portable: Spark converts double->decimal exactly via BigDecimal
+while DuckDB scales through a double multiply, and the two disagree
+near rounding boundaries.) The ~1e-6 quantization is far below any
+meaningful cosine-similarity resolution.
+
+Scale design: brute-force is O(|Q| * N); the LSH variant cuts the
+candidate set by ~2^planes and turns the search into a bucket-equality
+join — broadcastable for small query sets, shuffle-on-bucket for large
+ones. An IVF variant would replace the hash bucket with a trained
+centroid assignment; the plumbing (bucket -> join -> rerank) is
+identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import hash64_sql, register, t
+
+_TOP_K = 5
+_N_QUERIES = 10  # vec_id < 10 is the query set
+_N_PLANES = 4  # 2^4 = 16 buckets over 500 vectors
+_QSCALE = 1_000_000  # component quantization: round(x * 1e6) -> int64
+
+
+def _q6(col: Column) -> Column:
+    """Quantized component: exact int64, identical in both engines."""
+    return F.round(col.cast("double") * _QSCALE, 0).cast("long")
+
+
+# exploded + quantized components; unnest and generate_subscripts must
+# sit in the SAME select for DuckDB to align them positionally
+_E_SQL = f"""
+      SELECT vec_id,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_QSCALE}, 0) AS BIGINT) AS xq,
+             generate_subscripts(embedding, 1) - 1 AS i
+      FROM embeddings
+"""
+# NB: generate_subscripts is 1-based while Spark's posexplode is
+# 0-based — the -1 keeps the sign-table join aligned across engines.
+_NORMS_SQL = """
+      SELECT vec_id, SUM(xq * xq) AS nrm
+      FROM e GROUP BY vec_id
+"""
+
+
+def _exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", _q6(F.col("x")).alias("xq"))
+
+
+def _norms(e: DataFrame) -> DataFrame:
+    """Exact integer squared norm of the quantized vector."""
+    return e.groupBy("vec_id").agg(F.sum(F.col("xq") * F.col("xq")).alias("nrm"))
+
+
+def _cosine() -> Column:
+    return F.col("dot").cast("double") / (
+        F.sqrt(F.col("nrm_q").cast("double")) * F.sqrt(F.col("nrm_c").cast("double"))
+    )
+
+
+_COSINE_SQL = (
+    "CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nc.nrm AS DOUBLE)))"
+)
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH e AS ({_E_SQL}),
+    norms AS ({_NORMS_SQL}),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(q.xq * c.xq) AS dot
+      FROM e q JOIN e c ON q.i = c.i
+      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_COSINE_SQL} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COSINE_SQL} DESC, neighbor_id
+             ) AS rank
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine
+    FROM scored WHERE rank <= {_TOP_K}
+    """,
+    headline=True,
+    tags=("similarity", "ann"),
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the query set (vec_id < 10):
+    brute-force scan over quantized components (exact int64 dots),
+    deterministic (cosine desc, neighbor_id) ranking."""
+    e = _exploded(spark, sf_dir)
+    norms = _norms(e)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "i", F.col("xq").alias("qa")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "i", F.col("xq").alias("qb"))
+    dots = (
+        q.join(c, "i")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("nrm_q"))
+    nc = norms.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nrm_c")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        _cosine().desc(), F.col("neighbor_id")
+    )
+    return (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nc, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).alias("rank"),
+            _cosine().alias("cosine"),
+        )
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+# sign_{plane,dim} = +1/-1 from the portable hash of "plane_dim"
+_SIGNS_SQL = f"""
+      SELECT p.j, d.i,
+             CASE WHEN {hash64_sql("concat(p.j, '_', d.i)")} % 2 = 1
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT unnest(range(0, {_N_PLANES})) AS j) p,
+           (SELECT unnest(range(0, 64)) AS i) d
+"""
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH e AS ({_E_SQL}),
+    norms AS ({_NORMS_SQL}),
+    signs AS ({_SIGNS_SQL}),
+    proj AS (
+      SELECT e.vec_id, s.j, SUM(e.xq * s.sgn) AS dot_j
+      FROM e JOIN signs s ON s.i = e.i
+      GROUP BY e.vec_id, s.j
+    ),
+    buckets AS (
+      SELECT vec_id,
+             SUM(CASE WHEN dot_j > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT cd.query_id, cd.neighbor_id, SUM(a.xq * b.xq) AS dot
+      FROM cand cd
+      JOIN e a ON a.vec_id = cd.query_id
+      JOIN e b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_COSINE_SQL} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COSINE_SQL} DESC, neighbor_id
+             ) AS rank
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine
+    FROM scored WHERE rank <= {_TOP_K}
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 4 random-hyperplane sign bits -> 16 buckets;
+    candidates share the query's bucket; exact cosine rerank + top-5.
+    The sign projections are integer sums (quantized components x ±1),
+    so bucket assignment has no floating-point boundary ambiguity."""
+    e = _exploded(spark, sf_dir)
+    norms = _norms(e)
+    signs = (
+        spark.range(_N_PLANES)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("i")))
+        .select(
+            "j",
+            "i",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("_", "j", "i")), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 1,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+    )
+    proj = (
+        e.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("xq") * F.col("sgn")).alias("dot_j"))
+    )
+    buckets = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot_j") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("bucket")
+    )
+    bq = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    bc = buckets.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    cand = (
+        F.broadcast(bq)
+        .join(bc, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    ea = e.select(F.col("vec_id").alias("query_id"), "i", F.col("xq").alias("qa"))
+    eb = e.select(
+        F.col("vec_id").alias("neighbor_id"), "i", F.col("xq").alias("qb")
+    )
+    dots = (
+        cand.join(ea, "query_id")
+        .join(eb, ["neighbor_id", "i"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("nrm_q"))
+    nc = norms.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nrm_c")
+    )
+    w = Window.partitionBy("query_id").orderBy(_cosine().desc(), F.col("neighbor_id"))
+    return (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nc, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).alias("rank"),
+            _cosine().alias("cosine"),
+        )
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+@register(
+    "embedding_label_stats",
+    oracle=f"""
+    WITH e AS ({_E_SQL}),
+    norms AS ({_NORMS_SQL})
+    SELECT em.label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(n.nrm) AS DOUBLE) / (COUNT(*) * {_QSCALE}.0 * {_QSCALE}.0)
+             AS avg_sq_norm,
+           MIN(sqrt(CAST(n.nrm AS DOUBLE)) / {_QSCALE}.0) AS min_l2,
+           MAX(sqrt(CAST(n.nrm AS DOUBLE)) / {_QSCALE}.0) AS max_l2
+    FROM norms n JOIN embeddings em ON em.vec_id = n.vec_id
+    GROUP BY em.label
+    """,
+    tags=("similarity", "stats"),
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics (count, mean squared norm, L2
+    range) — the sanity profile run before any ANN indexing job. All
+    sums are exact int64; sqrt/division happen once per output row."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    e = _exploded(spark, sf_dir)
+    norms = _norms(e)
+    scale2 = float(_QSCALE) * float(_QSCALE)
+    return (
+        norms.join(F.broadcast(emb), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.sum("nrm").cast("double") / (F.count(F.lit(1)) * F.lit(scale2))).alias(
+                "avg_sq_norm"
+            ),
+            F.min(F.sqrt(F.col("nrm").cast("double")) / _QSCALE).alias("min_l2"),
+            F.max(F.sqrt(F.col("nrm").cast("double")) / _QSCALE).alias("max_l2"),
+        )
+    )

@@ -1,0 +1,176 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): token counting,
+quality scoring, language-ID heuristics, and document fingerprinting
+over the ``documents`` table — all with exact DuckDB oracles. Every
+operator is pure built-in-function Spark (JVM codegen, no Python UDFs)
+so the hot path stays vectorized at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import hash64_expr, hash64_sql, register, t
+
+# A word-ish tokenizer shared by both engines: lowercase, trim,
+# split on whitespace. The BPE-ish variant matches word pieces +
+# single punctuation, approximating subword segmentation.
+_BPE_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SW_SQL = "', '".join(_STOPWORDS)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split_regex(trim(lower(text)), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe_tokens,
+           n_chars,
+           CAST(n_chars AS DOUBLE)
+             / len(string_split_regex(trim(lower(text)), '\\s+')) AS chars_per_token
+    FROM documents
+    """,
+    headline=True,
+    tags=("text", "tokens"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (word pieces / punctuation singletons), chars-per-token density —
+    the standard length-based cost estimator for LLM data curation."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("ws_tokens"),
+        F.size(bpe).cast("bigint").alias("bpe_tokens"),
+        "n_chars",
+        (F.col("n_chars").cast("double") / F.size(ws)).alias("chars_per_token"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             w -> list_contains(['{_SW_SQL}'], w))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, n_words, n_stop,
+           CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / n_words AS avg_word_len,
+           (n_words >= 20 AND n_words <= 1000
+            AND CAST(n_stop AS DOUBLE) / n_words >= 0.01) AS passes_quality
+    FROM scored
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length bounds, stopword ratio, average word
+    length, and a pass/fail gate — the Gopher/C4-style heuristic
+    filter family, evaluated entirely JVM-side."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    stops = F.filter(
+        words, lambda w: w.isin(*_STOPWORDS)
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(stops).cast("bigint").alias("n_stop"),
+    )
+    sw_ratio = F.col("n_stop").cast("double") / F.col("n_words")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_words",
+        "n_stop",
+        sw_ratio.alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_words")).alias("avg_word_len"),
+        (
+            (F.col("n_words") >= 20)
+            & (F.col("n_words") <= 1000)
+            & (sw_ratio >= 0.01)
+        ).alias("passes_quality"),
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             w -> list_contains(['{_SW_SQL}'], w))) AS n_en_markers
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_label,
+           CAST(n_en_markers AS DOUBLE) / n_words AS en_marker_ratio,
+           CASE WHEN CAST(n_en_markers AS DOUBLE) / n_words >= 0.02
+                THEN 'en' ELSE 'und' END AS lang_guess
+    FROM feat
+    """,
+    tags=("text", "langid"),
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-token frequency (n-gram/stopword
+    heuristic family). The synthetic corpus shares one vocabulary
+    across the ``lang`` labels, so the interesting output is the
+    deterministic feature + decision pipeline, not label recovery."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    markers = F.filter(words, lambda w: w.isin(*_STOPWORDS))
+    feat = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.size(words).alias("n_words"),
+        F.size(markers).alias("n_en_markers"),
+    )
+    ratio = F.col("n_en_markers").cast("double") / F.col("n_words")
+    return feat.select(
+        "doc_id",
+        "lang_label",
+        ratio.alias("en_marker_ratio"),
+        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("und")).alias("lang_guess"),
+    )
+
+
+_NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+_FP_ORACLE = f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS content_md5,
+           {hash64_sql(_NORM_SQL)} AS content_hash64,
+           {hash64_sql(f"substr({_NORM_SQL}, 1, 64)")} AS prefix_hash64
+    FROM documents
+    """
+
+
+@register(
+    "text_fingerprint",
+    oracle=_FP_ORACLE,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whitespace-normalized content hashes
+    (full md5, portable 60-bit hash, and a prefix hash for cheap
+    rolling-style prefix comparison). The 60-bit hash is identical in
+    Spark and DuckDB (md5-hex arithmetic, queries/base.py)."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        hash64_expr(norm).alias("content_hash64"),
+        hash64_expr(F.substring(norm, 1, 64)).alias("prefix_hash64"),
+    )
