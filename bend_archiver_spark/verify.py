@@ -55,8 +55,8 @@ def content_fingerprint(df: DataFrame) -> int:
     summed distributively. Upgrade over the reference's count-only
     check — detects value corruption, not just cardinality drift."""
     row = (
-        df.select(F.xxhash64(*df.columns).alias("h"))
-        .agg(F.sum("h").alias("fp"))
+        df.select(F.xxhash64(*df.columns).cast("decimal(38,0)").alias("h"))
+        .agg(F.sum("h").alias("fp"))  # decimal sum: no int64 overflow (ANSI)
         .first()
     )
     return int(row["fp"]) if row["fp"] is not None else 0

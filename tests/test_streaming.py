@@ -1,0 +1,72 @@
+"""Streaming tests: incremental archive exactly-once + windowed counts
+(batch result is the oracle for the streaming result)."""
+
+import shutil
+
+from bend_archiver_spark.streaming import (
+    incremental_archive,
+    windowed_event_counts,
+)
+from bend_archiver_spark.tables import load_table
+
+
+class TestIncrementalArchive:
+    def test_backlog_then_incremental_exactly_once(self, spark, sf_dir, tmp_path):
+        src = str(tmp_path / "src")
+        tgt = str(tmp_path / "tgt")
+        ckpt = str(tmp_path / "ckpt")
+        events = load_table(spark, sf_dir, "events")
+        schema = events.schema
+
+        # land a first file batch
+        events.filter("event_id < 500").write.mode("append").parquet(src)
+        q = incremental_archive(spark, src, tgt, schema, ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(tgt).count()
+        assert n1 == 500
+
+        # land more files; rerun (cron-style availableNow trigger)
+        events.filter("event_id >= 500").write.mode("append").parquet(src)
+        q2 = incremental_archive(spark, src, tgt, schema, ckpt)
+        q2.awaitTermination(120)
+        n2 = spark.read.parquet(tgt).count()
+        assert n2 == events.count()
+
+        # exactly-once: rerunning with nothing new adds nothing
+        q3 = incremental_archive(spark, src, tgt, schema, ckpt)
+        q3.awaitTermination(120)
+        assert spark.read.parquet(tgt).count() == n2
+        shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+class TestWindowedCounts:
+    def test_batch_and_streaming_agree(self, spark, sf_dir, tmp_path):
+        events = load_table(spark, sf_dir, "events")
+        # batch-mode result (the oracle)
+        batch = {
+            (r.window_start, r.window_end, r.event_type): r.rows_in_window
+            for r in windowed_event_counts(events, unit="day").collect()
+        }
+        assert sum(batch.values()) == events.count()
+
+        # streaming over the same rows, complete-mode into memory sink
+        src = str(tmp_path / "stream_src")
+        events.write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema).parquet(src)
+        )
+        agg = windowed_event_counts(stream, unit="day")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            (r.window_start, r.window_end, r.event_type): r.rows_in_window
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        assert streamed == batch
+        shutil.rmtree(str(tmp_path), ignore_errors=True)
