@@ -39,6 +39,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # JVM/codegen warmup so the first timed query isn't charged for it
+    force(load_table(spark, sf_dir, "lineitem").limit(1000))
+
     # headline queries
     for name, spec in REGISTRY.items():
         if not spec.headline:

@@ -61,8 +61,15 @@ _TOKS_SQL = r"""
 """
 
 
-def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word 3-gram shingles per document (the dedup unit)."""
+def _tokens(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
+    """Distinct word 3-gram shingles per document (the dedup unit).
+
+    ``persist=True`` caches the shingle set (MEMORY_AND_DISK) — the
+    MinHash pipeline references it four times (signatures, sizes,
+    both sides of the verification join); without caching Spark
+    re-explodes the corpus per reference. At 100 TB this becomes a
+    checkpoint to a staging table instead of executor cache.
+    """
     d = t(spark, sf_dir, "documents")
     arr = F.split(F.trim(F.lower("text")), r"\s+")
     n = F.size(arr)
@@ -73,10 +80,8 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(arr, i + 1, F.lit(3))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        d.select("doc_id", F.explode(shingles).alias("tok"))
-        .distinct()
-    )
+    out = d.select("doc_id", F.explode(shingles).alias("tok")).distinct()
+    return out.persist() if persist else out
 
 
 # ---------------------------------------------------------------------
