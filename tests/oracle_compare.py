@@ -52,7 +52,7 @@ def _norm_cell(v):
         # floats should be bit-identical by construction; repr keeps
         # full precision so any drift is caught, not hidden
         return repr(v)
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
