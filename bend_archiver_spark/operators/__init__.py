@@ -1,0 +1,33 @@
+"""User-facing operator API.
+
+Parameterized, DataFrame-in/DataFrame-out operators — the library
+surface a pipeline author uses directly (the ``queries/`` registry
+wraps these with fixed parameters for the correctness gate).
+"""
+
+from .dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    shingle,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from .similarity import cosine_pairs, cosine_topk, lsh_buckets
+from .skew import salted_join
+from .textops import quality_scores, token_stats
+
+__all__ = [
+    "exact_dedup",
+    "shingle",
+    "jaccard_pairs",
+    "minhash_lsh_dedup",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "cosine_topk",
+    "cosine_pairs",
+    "lsh_buckets",
+    "salted_join",
+    "token_stats",
+    "quality_scores",
+]

@@ -1,0 +1,206 @@
+"""Deduplication operators — parameterized library API.
+
+All hashing rides on the portable 60-bit md5-derived hash
+(queries/base.py) so results are deterministic across runs, engines,
+and partitionings. Scale notes per function; the MinHash path is the
+one designed for 100 TB corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..queries.base import hash64_expr
+
+__all__ = [
+    "exact_dedup",
+    "shingle",
+    "jaccard_pairs",
+    "minhash_lsh_dedup",
+    "simhash_fingerprints",
+    "simhash_pairs",
+]
+
+DEFAULT_PERMS = [
+    (695425565, 2035525362), (323946140, 847876999),
+    (1397871145, 103694312), (155555738, 1763673106),
+    (1150797846, 202142728), (785310973, 1251527726),
+    (124551739, 1953574602), (1089709947, 461060838),
+    (80521325, 184570285), (931247022, 898017869),
+    (150013384, 516819858), (194804717, 1183364967),
+    (911648020, 126938843), (1775651416, 1214302567),
+    (265862674, 2034632750), (479402029, 1354258844),
+]
+P31 = 2147483647  # modulus: products stay < 2^62 in int64
+
+
+def _norm(text_col: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by normalized content hash: (content_key,
+    keeper_doc, n_copies) per distinct content. One map-side-combined
+    shuffle on the 128-bit key — the cheapest dedup at any scale."""
+    return df.groupBy(
+        F.md5(_norm(F.col(text_col))).alias("content_key")
+    ).agg(
+        F.min(id_col).alias("keeper_doc"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingle(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles: (id, tok). The shared front end
+    of the Jaccard / MinHash / SimHash pipelines."""
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    sz = F.size(arr)
+    shingles = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(0), sz - n),
+            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("tok"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    toks: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact set-Jaccard pairs over a shingle table (doc_id, tok).
+    With ``candidates`` (doc_a, doc_b) the intersection join touches
+    candidate pairs only — the verification stage of MinHash-LSH; alone
+    it is the brute-force baseline (cost = shingle collisions)."""
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    if candidates is not None:
+        inter = (
+            candidates.join(ta, "doc_a")
+            .join(tb, ["doc_b", "tok"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            ta.join(tb, "tok")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    ngram: int = 3,
+    perms: list[tuple[int, int]] | None = None,
+    n_bands: int = 4,
+    persist_shingles: bool = False,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs with exact-Jaccard verification.
+
+    signatures: one groupBy of ``len(perms)`` running minima over the
+    shingle stream (map-side combined). banding: ``n_bands`` keys per
+    doc, candidates = band collisions. verification: exact Jaccard on
+    candidates only. Never materializes O(n^2) — the 100 TB path.
+    """
+    perms = perms or DEFAULT_PERMS
+    rows_per_band = len(perms) // n_bands
+    toks = shingle(df, id_col, text_col, ngram)
+    if persist_shingles:
+        toks = toks.persist()
+    h = toks.select("doc_id", (hash64_expr(F.col("tok")) % P31).alias("hv"))
+    sig = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % P31).alias(f"s{i}")
+            for i, (a, b) in enumerate(perms)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[F.col(f"s{j * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    cand = (
+        ba.join(bb, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_pairs(toks, threshold, candidates=cand)
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """SimHash fingerprints: (doc_id, simhash) — majority vote per bit
+    over shingle hashes. One groupBy pipeline; the fingerprint is a
+    drop-in clustering/banding key at scale."""
+    toks = shingle(df, id_col, text_col, ngram)
+    h = toks.select("doc_id", hash64_expr(F.col("tok")).alias("hv"))
+    bit_rows = h.select(
+        "doc_id",
+        "hv",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    )
+    contrib = F.when(F.expr("(hv >> bit) & 1") == 1, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    sums = bit_rows.groupBy("doc_id", "bit").agg(F.sum(contrib).alias("s"))
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(sims: DataFrame, hamming_max: int) -> DataFrame:
+    """Pairs within a Hamming radius over (doc_id, simhash). Direct
+    self-join here; at scale, pre-group by simhash prefix bands so
+    only prefix-sharing pairs are compared."""
+    sa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return (
+        sa.crossJoin(sb)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= hamming_max)
+    )

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import dedup as ops
+from ..operators import similarity as sim_ops
 from .base import hash64_expr, hash64_sql, register, t
 
 # --- shared constants (identical on both engines) --------------------
@@ -180,30 +182,13 @@ def dedup_exact_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard near-dup pairs (threshold 0.7, word 3-gram shingles) via
-    shingle self-join. O(collisions) not O(n^2) — only token-sharing
-    pairs materialize — but still the brute-force baseline; the
-    MinHash-LSH operator below is the scale path."""
-    toks = _tokens(spark, sf_dir)
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        ta.join(tb, "tok")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_inter")
-    )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    """Exact token-set Jaccard near-dup pairs (threshold 0.7, word
+    3-gram shingles) via shingle self-join — the brute-force baseline
+    the MinHash-LSH operator is verified against. Delegates to
+    operators.dedup.jaccard_pairs."""
+    d = t(spark, sf_dir, "documents")
+    return ops.jaccard_pairs(
+        ops.shingle(d, "doc_id", "text"), _JACCARD_THRESHOLD
     )
 
 
@@ -268,69 +253,15 @@ def _band_union_sql() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands x 4 rows) near-dup detection with
-    exact-Jaccard verification of candidates.
-
-    Scale path: signatures are one groupBy over the token stream
-    (map-side combined mins); banding is a 4-row explode; the
-    candidate join only touches band-collided pairs — never O(n^2).
-    The signature arithmetic ((a*h + b) mod 2^31-1 over the portable
-    60-bit hash) is pure int64 math, bit-identical in the DuckDB
-    oracle, so this probabilistic operator is still exactly checkable.
-    """
-    toks = _tokens(spark, sf_dir)
-    h = toks.select("doc_id", (hash64_expr(F.col("tok")) % _P).alias("hv"))
-    sig = h.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % _P).alias(f"s{i}")
-            for i, (a, b) in enumerate(_PERMS)
-        ]
-    )
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                *[
-                    F.col(f"s{j * _BAND_ROWS + r}")
-                    for r in range(_BAND_ROWS)
-                ],
-            )
-            for j in range(_N_BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
-    )
-    ba = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
-    )
-    bb = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
-    )
-    cand = (
-        ba.join(bb, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_inter")
-    )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    exact-Jaccard verification of candidates — the 100 TB scale path
+    (signatures: one groupBy; banding: cheap explode; candidate join
+    touches only band collisions; never O(n^2)). The signature
+    arithmetic is pure int64 math, bit-identical in the DuckDB oracle.
+    Delegates to operators.dedup.minhash_lsh_dedup."""
+    d = t(spark, sf_dir, "documents")
+    return ops.minhash_lsh_dedup(
+        d, "doc_id", "text",
+        threshold=_JACCARD_THRESHOLD, perms=_PERMS, n_bands=_N_BANDS,
     )
 
 
@@ -365,39 +296,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 60-bit majority-vote fingerprint over token
-    hashes, pairs within Hamming distance 10. The fingerprint itself is
-    one groupBy; at scale the pair search banding is by simhash prefix
-    (here the corpus is small enough for the direct self-join — the
-    fingerprint math, which is the oracle-checked part, is identical
-    either way)."""
-    toks = _tokens(spark, sf_dir)
-    h = toks.select("doc_id", hash64_expr(F.col("tok")).alias("hv"))
-    bits = h.select(
-        "doc_id",
-        "hv",
-        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"),
-    )
-    contrib = F.when(
-        F.expr("(hv >> bit) & 1") == 1, F.lit(1)
-    ).otherwise(F.lit(-1))
-    sums = bits.groupBy("doc_id", "bit").agg(F.sum(contrib).alias("s"))
-    sims = sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
-    sa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
-    sb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
-    return (
-        sa.crossJoin(sb)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _HAMMING_MAX)
-    )
+    """SimHash near-dup: 60-bit majority-vote fingerprint over shingle
+    hashes, pairs within Hamming distance 10. Delegates to
+    operators.dedup.simhash_fingerprints/simhash_pairs."""
+    d = t(spark, sf_dir, "documents")
+    sims = ops.simhash_fingerprints(d, "doc_id", "text", bits=_SIMHASH_BITS)
+    return ops.simhash_pairs(sims, _HAMMING_MAX)
 
 
 # ---------------------------------------------------------------------
@@ -436,35 +340,9 @@ _COSINE_PAIR_SQL = f"""
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.45): exact
-    all-pairs cosine over quantized components (round(x*1e6) as int64)
-    so every dot product and norm is exact integer arithmetic —
-    bit-identical to the oracle with no float-accumulation ambiguity.
-    The brute-force baseline; the LSH-bucketed variant in
-    queries/similarity.py is the scale path that avoids the O(n^2)
-    pair join."""
+    all-pairs cosine over integer-quantized components. The
+    brute-force baseline; operators.similarity.lsh_buckets +
+    cosine_topk is the scale path. Delegates to
+    operators.similarity.cosine_pairs."""
     emb = t(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", F.posexplode("embedding").alias("i", "x")).select(
-        "vec_id",
-        "i",
-        F.round(F.col("x").cast("double") * 1_000_000, 0).cast("long").alias("xq"),
-    )
-    norms = e.groupBy("vec_id").agg(F.sum(F.col("xq") * F.col("xq")).alias("nrm"))
-    ea = e.select(F.col("vec_id").alias("vec_a"), "i", F.col("xq").alias("qa"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), "i", F.col("xq").alias("qb"))
-    dots = (
-        ea.join(eb, "i")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
-    )
-    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
-    cosine = F.col("dot").cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
-    )
-    return (
-        dots.join(na, "vec_a")
-        .join(nb, "vec_b")
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= _COSINE_THRESHOLD)
-    )
+    return sim_ops.cosine_pairs(emb, "vec_id", "embedding", _COSINE_THRESHOLD)

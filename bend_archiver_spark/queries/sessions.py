@@ -1,0 +1,132 @@
+"""Sessionization and funnel analytics over the event stream.
+
+The batch forms of the stateful-streaming patterns: gap-based
+sessionization (the batch twin of ``session_window`` /
+``applyInPandasWithState``), and an ordered conversion funnel. Both
+are pure window-function pipelines — one shuffle on user_id, no
+Python — and both have exact DuckDB oracles (lag + cumulative-sum
+sessionization is the canonical SQL formulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import register, t
+
+_GAP_MIN = 30  # session gap, minutes
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL {_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_event_types
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+    headline=True,
+    tags=("sessions", "window"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap): mark
+    session starts with lag(), number sessions with a running sum,
+    aggregate per session. One shuffle on user_id shared by both
+    windows and the final groupBy — Catalyst reuses the partitioning.
+    This is the batch twin of the streaming session_window; at 100 TB
+    it stays a single-pass window pipeline."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = _GAP_MIN * 60
+    is_new = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        > gap_sec,
+        1,
+    ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    tagged = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return tagged.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )
+
+
+@register(
+    "funnel_signup_to_purchase",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, MIN(ts) AS first_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    purchases AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase_after
+      FROM events e JOIN signups s
+        ON e.user_id = s.user_id AND e.ts > s.first_signup
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id,
+           strftime(s.first_signup, '%Y-%m-%d %H:%M:%S') AS first_signup,
+           strftime(p.first_purchase_after, '%Y-%m-%d %H:%M:%S') AS first_purchase,
+           (p.user_id IS NOT NULL) AS converted,
+           CAST(date_diff('second', s.first_signup, p.first_purchase_after)
+                AS BIGINT) AS seconds_to_convert
+    FROM signups s LEFT JOIN purchases p ON s.user_id = p.user_id
+    """,
+    tags=("sessions", "funnel"),
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first signup -> first purchase
+    strictly after it, with time-to-convert. Two aggregations and a
+    left join, all on the user_id partitioning."""
+    ev = t(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") > F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_after"))
+    )
+    joined = signups.join(purchases, "user_id", "left_outer")
+    return joined.select(
+        "user_id",
+        F.date_format("first_signup", "yyyy-MM-dd HH:mm:ss").alias(
+            "first_signup"
+        ),
+        F.date_format("first_purchase_after", "yyyy-MM-dd HH:mm:ss").alias(
+            "first_purchase"
+        ),
+        F.col("first_purchase_after").isNotNull().alias("converted"),
+        (
+            F.col("first_purchase_after").cast("long")
+            - F.col("first_signup").cast("long")
+        ).alias("seconds_to_convert"),
+    )

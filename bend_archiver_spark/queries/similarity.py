@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import similarity as ops
 from .base import hash64_sql, register, t
 
 _TOP_K = 5
@@ -114,36 +115,11 @@ _COSINE_SQL = (
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the query set (vec_id < 10):
     brute-force scan over quantized components (exact int64 dots),
-    deterministic (cosine desc, neighbor_id) ranking."""
-    e = _exploded(spark, sf_dir)
-    norms = _norms(e)
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "i", F.col("xq").alias("qa")
-    )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), "i", F.col("xq").alias("qb"))
-    dots = (
-        q.join(c, "i")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
-    )
-    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("nrm_q"))
-    nc = norms.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nrm_c")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        _cosine().desc(), F.col("neighbor_id")
-    )
-    return (
-        dots.join(F.broadcast(nq), "query_id")
-        .join(nc, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.row_number().over(w).alias("rank"),
-            _cosine().alias("cosine"),
-        )
-        .filter(F.col("rank") <= _TOP_K)
+    deterministic (cosine desc, neighbor_id) ranking. Delegates to
+    operators.similarity.cosine_topk."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ops.cosine_topk(
+        emb, "vec_id", "embedding", F.col("vec_id") < _N_QUERIES, k=_TOP_K
     )
 
 
@@ -204,42 +180,12 @@ _SIGNS_SQL = f"""
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: 4 random-hyperplane sign bits -> 16 buckets;
     candidates share the query's bucket; exact cosine rerank + top-5.
-    The sign projections are integer sums (quantized components x ±1),
-    so bucket assignment has no floating-point boundary ambiguity."""
-    e = _exploded(spark, sf_dir)
-    norms = _norms(e)
-    signs = (
-        spark.range(_N_PLANES)
-        .select(F.col("id").cast("int").alias("j"))
-        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("i")))
-        .select(
-            "j",
-            "i",
-            F.when(
-                F.conv(
-                    F.substring(F.md5(F.concat_ws("_", "j", "i")), 1, 15),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2
-                == 1,
-                F.lit(1),
-            )
-            .otherwise(F.lit(-1))
-            .alias("sgn"),
-        )
-    )
-    proj = (
-        e.join(F.broadcast(signs), "i")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("xq") * F.col("sgn")).alias("dot_j"))
-    )
-    buckets = proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                F.col("dot_j") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("bucket")
+    Sign projections are integer sums — no floating-point boundary
+    ambiguity. Delegates to operators.similarity.lsh_buckets +
+    cosine_topk(candidates=...)."""
+    emb = t(spark, sf_dir, "embeddings")
+    buckets = ops.lsh_buckets(
+        spark, emb, "vec_id", "embedding", n_planes=_N_PLANES
     )
     bq = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "bucket"
@@ -251,31 +197,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
-    ea = e.select(F.col("vec_id").alias("query_id"), "i", F.col("xq").alias("qa"))
-    eb = e.select(
-        F.col("vec_id").alias("neighbor_id"), "i", F.col("xq").alias("qb")
-    )
-    dots = (
-        cand.join(ea, "query_id")
-        .join(eb, ["neighbor_id", "i"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
-    )
-    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("nrm_q"))
-    nc = norms.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nrm_c")
-    )
-    w = Window.partitionBy("query_id").orderBy(_cosine().desc(), F.col("neighbor_id"))
-    return (
-        dots.join(F.broadcast(nq), "query_id")
-        .join(nc, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.row_number().over(w).alias("rank"),
-            _cosine().alias("cosine"),
-        )
-        .filter(F.col("rank") <= _TOP_K)
+    return ops.cosine_topk(
+        emb, "vec_id", "embedding", F.col("vec_id") < _N_QUERIES,
+        k=_TOP_K, candidates=cand,
     )
 
 
@@ -297,14 +221,17 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector statistics (count, mean squared norm, L2
-    range) — the sanity profile run before any ANN indexing job. All
-    sums are exact int64; sqrt/division happen once per output row."""
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label")
-    e = _exploded(spark, sf_dir)
-    norms = _norms(e)
+    range) — the sanity profile before any ANN indexing job. All sums
+    exact int64; sqrt/division once per output row."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = ops.explode_quantized(emb, "vec_id", "embedding")
+    norms = e.groupBy("vec_id").agg(
+        F.sum(F.col("xq") * F.col("xq")).alias("nrm")
+    )
     scale2 = float(_QSCALE) * float(_QSCALE)
+    labels = emb.select("vec_id", "label")
     return (
-        norms.join(F.broadcast(emb), "vec_id")
+        norms.join(F.broadcast(labels), "vec_id")
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),

@@ -1,0 +1,126 @@
+"""Tests for the user-facing operator API (operators/)."""
+
+from pyspark.sql import functions as F
+
+from bend_archiver_spark.operators import (
+    cosine_topk,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    quality_scores,
+    salted_join,
+    shingle,
+    simhash_fingerprints,
+    simhash_pairs,
+    token_stats,
+)
+from bend_archiver_spark.tables import load_table
+
+
+class TestDedupOps:
+    def test_minhash_recall_vs_exact(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        exact = {
+            (r.doc_a, r.doc_b)
+            for r in jaccard_pairs(
+                shingle(docs, "doc_id", "text"), 0.7
+            ).collect()
+        }
+        mh = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_lsh_dedup(docs, "doc_id", "text", 0.7).collect()
+        }
+        # verification stage guarantees zero false positives; recall on
+        # the planted near-dups is complete at this banding config
+        assert mh <= exact
+        assert len(mh) == len(exact)
+
+    def test_exact_dedup_keeper_is_min_id(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        out = exact_dedup(docs, "doc_id", "text")
+        assert out.count() == docs.count()  # corpus has no exact dups
+        assert out.agg(F.sum("n_copies")).first()[0] == docs.count()
+
+    def test_simhash_close_for_near_dups(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        sims = simhash_fingerprints(docs, "doc_id", "text")
+        assert sims.count() == docs.count()
+        near = simhash_pairs(sims, 10)
+        exact = jaccard_pairs(shingle(docs, "doc_id", "text"), 0.7)
+        near_set = {(r.doc_a, r.doc_b) for r in near.collect()}
+        exact_set = {(r.doc_a, r.doc_b) for r in exact.collect()}
+        assert exact_set <= near_set  # every true near-dup is hamming-close
+
+    def test_custom_params(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents").limit(50)
+        out = minhash_lsh_dedup(
+            docs, "doc_id", "text", threshold=0.5, ngram=2, n_bands=8
+        )
+        assert set(out.columns) == {"doc_a", "doc_b", "jaccard"}
+
+
+class TestSimilarityOps:
+    def test_topk_shape_and_rank(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = cosine_topk(
+            emb, "vec_id", "embedding", F.col("vec_id") < 3, k=4
+        ).collect()
+        assert len(out) == 12
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rows in by_q.items():
+            ranks = sorted(r.rank for r in rows)
+            assert ranks == [1, 2, 3, 4]
+            rows.sort(key=lambda r: r.rank)
+            cosines = [r.cosine for r in rows]
+            assert cosines == sorted(cosines, reverse=True)
+            assert all(r.neighbor_id != q for r in rows)
+
+
+class TestSkew:
+    def test_salted_join_matches_plain_join(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        )
+        plain = (
+            orders.join(cust, "o_custkey")
+            .groupBy("c_mktsegment")
+            .count()
+            .collect()
+        )
+        salted = (
+            salted_join(orders, cust, "o_custkey", salt_buckets=8)
+            .groupBy("c_mktsegment")
+            .count()
+            .collect()
+        )
+        assert sorted((r.c_mktsegment, r["count"]) for r in plain) == sorted(
+            (r.c_mktsegment, r["count"]) for r in salted
+        )
+
+    def test_salted_join_drops_salt_column(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders").limit(10)
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_name"
+        )
+        out = salted_join(orders, cust, "o_custkey", salt_buckets=4)
+        assert "__salt" not in out.columns
+
+
+class TestTextOps:
+    def test_token_stats(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        out = token_stats(docs, "doc_id", "text")
+        row = out.first()
+        assert row.bpe_tokens >= row.ws_tokens  # BPE splits at least as fine
+        assert out.count() == docs.count()
+
+    def test_quality_gate_thresholds(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        strict = quality_scores(docs, "doc_id", "text", min_words=100)
+        loose = quality_scores(docs, "doc_id", "text", min_words=1)
+        n_strict = strict.filter("passes_quality").count()
+        n_loose = loose.filter("passes_quality").count()
+        assert n_strict < n_loose
