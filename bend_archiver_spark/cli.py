@@ -1,0 +1,118 @@
+"""CLI driver — parity with cmd/main.go (A38): config -> table
+discovery -> per-table archive -> verification -> optional delete.
+
+Usage (spark-submit or plain python):
+
+    python -m bend_archiver_spark --conf conf.json
+    python -m bend_archiver_spark --conf conf.json --source-path /data/t.parquet \\
+        --target-path /archive/t --dry-run
+
+File mode (``--source-path``) archives parquet/csv/json files and is
+fully self-contained; JDBC mode (config with connection fields) needs
+the matching JDBC driver jar on the Spark classpath. The reference's
+start/end/total logging (cmd/main.go:26-28, 118-120) and the
+verification gate are preserved; per-table reports are emitted as one
+JSON line each for machine consumption.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from .config import Config, ConfigError, load_config
+from .job import FileArchiveJob
+from .metrics import ThroughputRecorder
+from .session import get_spark
+from .tables import load_table
+
+
+def _parse_args(argv: list[str] | None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="bend_archiver_spark",
+        description="PySpark-native archive engine (bend-archiver capability parity)",
+    )
+    p.add_argument("--conf", required=True, help="JSON job config path")
+    p.add_argument("--source-path", default="", help="file-source path (parquet/csv/json); omit for JDBC mode")
+    p.add_argument("--source-format", default="parquet")
+    p.add_argument("--target-path", default="", help="override target path")
+    p.add_argument("--dry-run", action="store_true", help="plan + count only, no write")
+    p.add_argument("--no-idempotency-check", action="store_true")
+    p.add_argument("--sf-table", default="", help="testdata table name (uses nano-ts-aware loader)")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parse_args(argv)
+    try:
+        cfg: Config = load_config(args.conf)
+    except (OSError, json.JSONDecodeError, ConfigError) as e:
+        print(f"error: invalid config {args.conf!r}: {e}", file=sys.stderr)
+        return 2
+    if args.target_path:
+        cfg.target_path = args.target_path
+    start = time.time()
+    print(f"start time: {time.strftime('%Y-%m-%d %H:%M:%S', time.localtime(start))}")
+
+    spark = get_spark("bend_archiver_spark")
+    rec = ThroughputRecorder()
+    rc = 0
+    try:
+        if args.sf_table:
+            source_df = load_table(spark, args.source_path, args.sf_table)
+        elif args.source_path:
+            source_df = (
+                spark.read.format(args.source_format).load(args.source_path)
+            )
+        else:
+            from .sources.jdbc import JdbcSource
+
+            source_df = JdbcSource(spark, cfg).read()
+
+        if args.dry_run:
+            n = (
+                source_df.filter(cfg.source_where_condition).count()
+                if cfg.source_where_condition
+                else source_df.count()
+            )
+            print(json.dumps({"dry_run": True, "matching_rows": n}))
+        else:
+            job = FileArchiveJob(spark, cfg, source_df)
+            try:
+                report = job.run(
+                    check_idempotency=not args.no_idempotency_check
+                )
+            except RuntimeError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+            rec.record(report.source_rows)
+            print(
+                json.dumps(
+                    {
+                        "table": report.table,
+                        "source_rows": report.source_rows,
+                        "target_rows": report.target_rows,
+                        "partitions": report.num_partitions,
+                        "batch_size": report.batch_size,
+                        "elapsed_sec": round(report.elapsed_sec, 3),
+                        "rows_per_sec": round(report.rows_per_sec, 1),
+                        "verified": report.verify.is_correct,
+                    }
+                )
+            )
+            if not report.verify.is_correct:
+                print("verification FAILED: source/target counts differ", file=sys.stderr)
+                rc = 1
+            print(rec.as_log_line("job"))
+    finally:
+        spark.stop()
+    end = time.time()
+    print(f"end time: {time.strftime('%Y-%m-%d %H:%M:%S', time.localtime(end))}")
+    print(f"total time: {end - start:.1f}s")
+    return rc
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())
