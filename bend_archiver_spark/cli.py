@@ -60,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
     rec = ThroughputRecorder()
     rc = 0
     try:
+        jdbc_mode = not args.source_path and not args.sf_table
         if args.sf_table:
             source_df = load_table(spark, args.source_path, args.sf_table)
         elif args.source_path:
@@ -79,7 +80,12 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({"dry_run": True, "matching_rows": n}))
         else:
-            job = FileArchiveJob(spark, cfg, source_df)
+            if jdbc_mode:
+                from .job import JdbcArchiveJob
+
+                job = JdbcArchiveJob(spark, cfg)
+            else:
+                job = FileArchiveJob(spark, cfg, source_df)
             try:
                 report = job.run(
                     check_idempotency=not args.no_idempotency_check

@@ -128,3 +128,86 @@ class FileArchiveJob:
             elapsed_sec=elapsed,
             verify=verify,
         )
+
+
+class JdbcArchiveJob:
+    """Archive one RDBMS table into a file/Delta target — the complete
+    reference flow (cmd/main.go:74-121) over a live JDBC source:
+    idempotency gate -> bounds probe -> partitioned read (one predicate
+    per task) -> distributed write -> count verification -> optional
+    verification-gated delete-after-sync.
+
+    Requires the dialect's JDBC driver jar on the Spark classpath; the
+    probe/plan/SQL layers are unit-tested without a live database
+    (tests/test_archiver_core.py, tests/test_job.py)."""
+
+    def __init__(self, spark: SparkSession, cfg: Config):
+        from .sources.jdbc import JdbcSource
+
+        self.spark = spark
+        self.cfg = cfg
+        self.source = JdbcSource(spark, cfg)
+
+    def run(self, check_idempotency: bool = True) -> ArchiveReport:
+        cfg = self.cfg
+        t0 = time.monotonic()
+        if check_idempotency:
+            try:
+                existing = self.spark.read.format(cfg.target_format).load(
+                    cfg.target_path
+                )
+                already = idempotency_gate(existing, cfg.source_where_condition)
+                if already > 0:
+                    raise RuntimeError(
+                        f"idempotency gate: target already has {already} rows "
+                        "matching the predicate; refusing to double-archive"
+                    )
+            except RuntimeError:
+                raise
+            except Exception:
+                pass  # target does not exist yet
+
+        plan = (
+            self.source.plan_time_split()
+            if cfg.source_split_time_key
+            else self.source.plan_key_split()
+        )
+        if not plan.predicates:
+            return ArchiveReport(
+                cfg.source_table, 0, 0, 0, cfg.batch_size,
+                time.monotonic() - t0, VerifyResult(0, 0),
+            )
+        df = self.source.read(plan)
+        write_batch(df, cfg.target_path, cfg.target_format, mode="append")
+
+        source_rows = self.source.count()
+        target = self.spark.read.format(cfg.target_format).load(cfg.target_path)
+        tgt_rows = (
+            target.filter(cfg.source_where_condition).count()
+            if cfg.source_where_condition
+            else target.count()
+        )
+        verify = VerifyResult(source_rows, tgt_rows)
+
+        deleted = 0
+        if cfg.delete_after_sync and verify.is_correct:
+            from .postsync import delete_after_sync, jdbc_executor
+
+            execute = jdbc_executor(
+                self.spark,
+                plan.url,
+                cfg.source_user,
+                cfg.source_pass,
+            )
+            deleted = delete_after_sync(cfg, verify, execute)
+
+        return ArchiveReport(
+            table=cfg.source_table,
+            source_rows=verify.source_rows,
+            target_rows=verify.target_rows,
+            num_partitions=len(plan.predicates),
+            batch_size=cfg.batch_size,
+            elapsed_sec=time.monotonic() - t0,
+            verify=verify,
+            deleted_rows=deleted,
+        )

@@ -1,0 +1,90 @@
+"""Relational surface, part 3: ordered-set and approximate aggregates.
+
+- Exact percentiles/median DO hash-match across engines: both Spark's
+  ``percentile`` and DuckDB's ``quantile_cont`` linearly interpolate on
+  the sorted values with identical arithmetic (verified empirically).
+- ``approx_count_distinct`` (HyperLogLog) cannot: sketch
+  implementations differ by engine, so that query ships without an
+  oracle (rows-only check) and pairs the estimate with the exact count
+  for error inspection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import register, t
+
+
+@register(
+    "agg_percentiles_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           median(o_totalprice) AS med,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("relational", "agg", "percentile"),
+)
+def agg_percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Note: exact
+    percentile requires a per-group sort — at 100 TB prefer
+    approx_percentile (t-digest) unless exactness is contractual."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.median("o_totalprice").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_approx_distinct_users",
+    oracle=None,  # HLL sketches are engine-specific — rows-only check
+    tags=("relational", "agg", "approx"),
+)
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the cardinality sketch that replaces COUNT(DISTINCT) at 100 TB
+    (no exact-dedup shuffle; mergeable partial sketches). Estimates
+    are engine-specific, hence no SQL oracle."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "agg_argmax_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+             AS top_orderkey,
+           MAX(CAST(floor(o_totalprice * 100) AS BIGINT)) AS top_price_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("relational", "agg"),
+)
+def agg_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/arg_max: the key of the maximal row per group. Ranked by
+    an integer composite (floored cents, orderkey) so ties are broken
+    deterministically in both engines — raw double max_by is
+    ambiguous when two rows share a price."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "max_by(o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)"
+        ).alias("top_orderkey"),
+        F.max(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "top_price_cents"
+        ),
+    )

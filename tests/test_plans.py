@@ -1,0 +1,81 @@
+"""Physical-plan regression tests — the scale-safety contract.
+
+These pin the plan *shapes* that make the suite viable at 100 TB:
+filters and column pruning reaching the parquet scan, dimension
+broadcasts, partial aggregation, and heap-based top-k. A regression
+here (for example a lost pushdown after a refactor) is invisible to
+value-correctness tests but catastrophic at scale.
+"""
+
+from bend_archiver_spark.queries import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
+class TestPushdownAndPruning:
+    def test_q6_filters_reach_scan(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "tpch_q6_revenue")
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+        assert "GreaterThanOrEqual(l_shipda" in plan
+        # column pruning: only the 4 needed columns are read
+        assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in plan
+
+    def test_scan_predicate_range_pushdown(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "scan_predicate")
+        assert "GreaterThanOrEqual(l_orderkey,100)" in plan
+
+    def test_q1_partial_aggregation(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "tpch_q1")
+        assert "partial_sum" in plan  # map-side combine before shuffle
+
+
+class TestJoinStrategies:
+    def test_q3_broadcasts_dimension(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "tpch_q3_topk")
+        assert "BroadcastHashJoin" in plan
+        # customer scan carries the segment filter pushed down
+        assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+    def test_q5_no_cartesian(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "tpch_q5_region_revenue")
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 4  # all dims broadcast
+
+    def test_semi_join_planned(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "join_semi_customers_with_orders")
+        assert "LeftSemi" in plan
+
+
+class TestTopK:
+    def test_global_topk_avoids_full_sort(self, spark, sf_dir):
+        # TakeOrderedAndProject = per-partition heap + driver merge
+        plan = plan_of(spark, sf_dir, "sort_limit_topk_orders")
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+
+class TestNoPythonInHotPath:
+    def test_only_multimodal_stub_uses_python(self, spark, sf_dir):
+        """Every query except the explicitly-Arrow-batched multimodal
+        decode stub must stay fully JVM-side: no row-at-a-time or
+        Arrow Python evaluation nodes anywhere in the plan."""
+        offenders = []
+        for name in REGISTRY:
+            if name == "multimodal_decode_stub":
+                continue
+            plan = plan_of(spark, sf_dir, name)
+            if "EvalPython" in plan or "MapInPandas" in plan:
+                offenders.append(name)
+        assert offenders == []
+
+    def test_decode_stub_is_arrow_batched(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "multimodal_decode_stub")
+        assert "MapInPandas" in plan  # Arrow batches, not per-row UDF
+        assert "BatchEvalPython" not in plan
