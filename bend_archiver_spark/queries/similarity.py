@@ -242,3 +242,23 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.sqrt(F.col("nrm").cast("double")) / _QSCALE).alias("max_l2"),
         )
     )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # KMeans training is not cross-engine reproducible —
+    # rows-only check (output cardinality is structurally |Q| * k)
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: MLlib KMeans codebook (16 cells) -> queries probe their
+    2 nearest cells -> exact cosine rerank top-5. The data-adaptive
+    alternative to hyperplane LSH; see operators/ivf.py for the
+    recall/cost model."""
+    from ..operators.ivf import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, "vec_id", "embedding", F.col("vec_id") < _N_QUERIES,
+        k=_TOP_K, n_cells=16, n_probe=2,
+    )

@@ -23,7 +23,11 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_batch", "copy_into_sql", "SinkResult"]
+__all__ = ["write_batch", "copy_into_sql", "SinkResult", "NDJSON_TS_FMT"]
+
+# micro-precision timestamps: the default JSON format is milliseconds,
+# which silently truncates micros and breaks round-trip fingerprints
+NDJSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
 @dataclass
@@ -50,7 +54,9 @@ def write_batch(
     elif fmt == "ndjson":
         # line-delimited JSON, NULL fields serialized as null — matches
         # the reference's stage-file format (source/source.go:172-180)
-        writer.option("ignoreNullFields", "false").json(path)
+        writer.option("ignoreNullFields", "false").option(
+            "timestampFormat", NDJSON_TS_FMT
+        ).json(path)
     elif fmt == "delta":
         try:
             writer.format("delta").save(path)
