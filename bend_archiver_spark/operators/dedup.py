@@ -74,12 +74,16 @@ def jaccard_pairs(
     toks: DataFrame,
     threshold: float,
     candidates: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-Jaccard pairs over a shingle table (doc_id, tok).
     With ``candidates`` (doc_a, doc_b) the intersection join touches
     candidate pairs only — the verification stage of MinHash-LSH; alone
-    it is the brute-force baseline (cost = shingle collisions)."""
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    it is the brute-force baseline (cost = shingle collisions).
+    ``sizes`` (doc_id, n) can be precomputed upstream (the MinHash
+    signature aggregation yields it for free) to skip one shuffle."""
+    if sizes is None:
+        sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
     if candidates is not None:
@@ -132,11 +136,14 @@ def minhash_lsh_dedup(
     if persist_shingles:
         toks = toks.persist()
     h = toks.select("doc_id", (hash64_expr(F.col("tok")) % P31).alias("hv"))
+    # the shingle-set size rides along in the same aggregation — the
+    # Jaccard verification stage then needs no second pass over toks
     sig = h.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("hv") + F.lit(b)) % P31).alias(f"s{i}")
             for i, (a, b) in enumerate(perms)
-        ]
+        ],
+        F.count(F.lit(1)).alias("n"),
     )
     band_keys = F.array(
         *[
@@ -158,7 +165,8 @@ def minhash_lsh_dedup(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return jaccard_pairs(toks, threshold, candidates=cand)
+    sizes = sig.select("doc_id", "n")
+    return jaccard_pairs(toks, threshold, candidates=cand, sizes=sizes)
 
 
 def simhash_fingerprints(
