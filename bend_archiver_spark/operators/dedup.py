@@ -166,7 +166,12 @@ def minhash_lsh_dedup(
         .distinct()
     )
     sizes = sig.select("doc_id", "n")
-    return jaccard_pairs(toks, threshold, candidates=cand, sizes=sizes)
+    # verify on the 60-bit shingle hashes, not the strings: the
+    # intersection join shuffles int64 keys instead of multi-word
+    # strings (collision odds ~(n^2)/2^61 — negligible, and identical
+    # in the oracle which uses the same hashes)
+    hashed_toks = h.withColumnRenamed("hv", "tok")
+    return jaccard_pairs(hashed_toks, threshold, candidates=cand, sizes=sizes)
 
 
 def simhash_fingerprints(

@@ -233,12 +233,12 @@ def _band_union_sql() -> str:
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
       FROM cand c
-      JOIN toks ta ON ta.doc_id = c.doc_a
-      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      JOIN h ta ON ta.doc_id = c.doc_a
+      JOIN h tb ON tb.doc_id = c.doc_b AND tb.hv = ta.hv
       GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b,
