@@ -19,6 +19,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -93,7 +94,7 @@ class FileArchiveJob:
                     )
             except RuntimeError:
                 raise
-            except Exception:
+            except AnalysisException:
                 pass  # target does not exist yet — clean slate
 
         mn, mx, cnt = self._probe_bounds(filtered)
@@ -164,7 +165,7 @@ class JdbcArchiveJob:
                     )
             except RuntimeError:
                 raise
-            except Exception:
+            except AnalysisException:
                 pass  # target does not exist yet
 
         plan = (

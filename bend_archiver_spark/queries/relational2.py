@@ -512,3 +512,31 @@ def conditional_funcs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("high")
         .alias("bal_class"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("relational", "join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators.skew.salted_join): the left side is
+    salted, the right replicated per salt bucket — the hot-key
+    mitigation for fact-fact joins where AQE's skew splitting isn't
+    enough. Salting is internal plumbing: the oracle is the PLAIN
+    join, proving result equivalence."""
+    from ..operators.skew import salted_join
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(orders, cust, "o_custkey", salt_buckets=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
