@@ -54,7 +54,15 @@ def shingle(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles: (id, tok). The shared front end
-    of the Jaccard / MinHash / SimHash pipelines."""
+    of the Jaccard / MinHash / SimHash pipelines.
+
+    The input is fanned out to full parallelism first: a small-file
+    corpus otherwise arrives as ONE partition and the explode+hash —
+    the most expensive per-row work in the pipeline — serializes on a
+    single core (measured 10x slowdown). The repartition shuffles only
+    the compact pre-explode rows."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(parallelism)
     arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     sz = F.size(arr)
     shingles = F.when(

@@ -20,7 +20,10 @@ QSCALE = 1_000_000
 def explode_quantized(
     df: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(id, i, xq): positional explode with quantized components."""
+    """(id, i, xq): positional explode with quantized components.
+    Fans the input out to full parallelism first — a single-file
+    corpus otherwise serializes the explode on one core."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df.select(
         F.col(id_col).alias("vec_id"), F.posexplode(vec_col).alias("i", "x")
     ).select(
