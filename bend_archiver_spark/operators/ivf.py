@@ -66,8 +66,6 @@ def ivf_topk(
     (by exact distance to the broadcast codebook), candidates are the
     vectors assigned to those cells, reranked exactly. ``n_probe``
     trades recall for cost exactly like IVF nprobe in vector DBs."""
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     assigned, model = train_ivf_assignments(
         corpus, id_col, vec_col, n_cells=n_cells, seed=seed
     )

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as ops
 from ..operators import similarity as sim_ops
-from .base import hash64_expr, hash64_sql, register, t
+from .base import hash64_sql, register, t
 
 # --- shared constants (identical on both engines) --------------------
 _P = 2147483647  # 2^31 - 1, prime; products stay < 2^62 in int64
