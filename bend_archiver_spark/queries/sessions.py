@@ -130,3 +130,54 @@ def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("first_signup").cast("long")
         ).alias("seconds_to_convert"),
     )
+
+
+@register(
+    "session_window_native",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL {_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(MAX(ts) + INTERVAL {_GAP_MIN} MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS window_end,
+           COUNT(*) AS n_events
+    FROM tagged
+    GROUP BY user_id, sid
+    """,
+    tags=("sessions", "window"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (gap-merged event-time
+    windows; window end = last event + gap). The oracle re-derives the
+    same windows with the lag/cumulative-sum formulation, pinning that
+    the native operator and the manual sessionizer agree — so either
+    can serve the batch path, and the native one carries over to
+    streaming unchanged."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{_GAP_MIN} minutes").alias("win"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "n_events",
+        )
+    )

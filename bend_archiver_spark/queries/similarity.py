@@ -28,7 +28,7 @@ identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as ops
@@ -39,44 +39,19 @@ _N_QUERIES = 10  # vec_id < 10 is the query set
 _N_PLANES = 4  # 2^4 = 16 buckets over 500 vectors
 _QSCALE = 1_000_000  # component quantization: round(x * 1e6) -> int64
 
-
-def _q6(col: Column) -> Column:
-    """Quantized component: exact int64, identical in both engines."""
-    return F.round(col.cast("double") * _QSCALE, 0).cast("long")
-
-
 # exploded + quantized components; unnest and generate_subscripts must
-# sit in the SAME select for DuckDB to align them positionally
+# sit in the SAME select for DuckDB to align them positionally, and
+# generate_subscripts is 1-based vs posexplode's 0-based (hence -1)
 _E_SQL = f"""
       SELECT vec_id,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_QSCALE}, 0) AS BIGINT) AS xq,
              generate_subscripts(embedding, 1) - 1 AS i
       FROM embeddings
 """
-# NB: generate_subscripts is 1-based while Spark's posexplode is
-# 0-based — the -1 keeps the sign-table join aligned across engines.
 _NORMS_SQL = """
       SELECT vec_id, SUM(xq * xq) AS nrm
       FROM e GROUP BY vec_id
 """
-
-
-def _exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.posexplode("embedding").alias("i", "x")
-    ).select("vec_id", "i", _q6(F.col("x")).alias("xq"))
-
-
-def _norms(e: DataFrame) -> DataFrame:
-    """Exact integer squared norm of the quantized vector."""
-    return e.groupBy("vec_id").agg(F.sum(F.col("xq") * F.col("xq")).alias("nrm"))
-
-
-def _cosine() -> Column:
-    return F.col("dot").cast("double") / (
-        F.sqrt(F.col("nrm_q").cast("double")) * F.sqrt(F.col("nrm_c").cast("double"))
-    )
-
 
 _COSINE_SQL = (
     "CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nc.nrm AS DOUBLE)))"
