@@ -83,6 +83,9 @@ class Config:
     target_path: str = ""  # file/Delta sink location (alt. to databend_table)
     target_format: str = "parquet"  # parquet | delta | ndjson | jdbc
     strict_reference_semantics: bool = False
+    # degrade output to the reference's wire shape (bool->tinyint,
+    # temporal->string, decimal->double); see sources/typemap.py
+    reference_compat: bool = False
 
     # --- JSON field-name compatibility -------------------------------
     _JSON_KEYS = {
@@ -115,6 +118,7 @@ class Config:
         "oracleSID": "oracle_sid",
         "targetPath": "target_path",
         "targetFormat": "target_format",
+        "referenceCompat": "reference_compat",
     }
 
     @classmethod

@@ -115,10 +115,26 @@ class FileArchiveJob:
         extracted = filtered.repartitionByRange(
             int(n_parts), F.col(cfg.source_split_key)
         )
+        if cfg.reference_compat:
+            from .sources.typemap import apply_reference_compat
+
+            extracted = apply_reference_compat(extracted)
         write_batch(extracted, cfg.target_path, cfg.target_format, mode="append")
 
         target = self.spark.read.format(cfg.target_format).load(cfg.target_path)
-        verify = count_verify(filtered, target, cfg.source_where_condition)
+        # verification is predicate-scoped (a target dir may hold other
+        # archives); under reference_compat the degraded column types
+        # may not accept the source predicate — fall back to full count
+        src_rows = filtered.count()
+        try:
+            tgt_rows = (
+                target.filter(cfg.source_where_condition).count()
+                if cfg.source_where_condition
+                else target.count()
+            )
+        except AnalysisException:
+            tgt_rows = target.count()
+        verify = VerifyResult(src_rows, tgt_rows)
         elapsed = time.monotonic() - t0
         return ArchiveReport(
             table=cfg.source_table,

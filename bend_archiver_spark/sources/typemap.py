@@ -128,7 +128,11 @@ def apply_reference_compat(df: DataFrame) -> DataFrame:
         c = field.name
         if isinstance(field.dataType, T.BooleanType):
             out = out.withColumn(c, F.col(c).cast("tinyint"))
-        elif isinstance(field.dataType, T.TimestampType):
+        elif isinstance(
+            field.dataType, (T.TimestampType, T.TimestampNTZType)
+        ):
+            # NTZ covers parquet timestamps with isAdjustedToUTC=false,
+            # which Spark 4 surfaces as timestamp_ntz
             out = out.withColumn(c, F.date_format(c, TEMPORAL_FORMAT))
         elif isinstance(field.dataType, T.DateType):
             out = out.withColumn(c, F.date_format(c, "yyyy-MM-dd"))

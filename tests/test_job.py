@@ -80,3 +80,20 @@ class TestJdbcPlanGeneration:
         assert opts["fetchsize"] == "10000"  # MSSQL page-size analog
         assert opts["queryTimeout"] == "60"  # page-timeout analog
         assert opts["driver"] == "org.postgresql.Driver"
+
+
+class TestReferenceCompat:
+    def test_compat_archive_degrades_types(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import types as T
+
+        tgt = str(tmp_path / "compat")
+        li = load_table(spark, sf_dir, "lineitem")
+        cfg = _cfg(tgt, reference_compat=True)
+        report = FileArchiveJob(spark, cfg, li).run(check_idempotency=False)
+        assert report.verify.is_correct
+        out = spark.read.parquet(tgt)
+        types = dict((f.name, f.dataType) for f in out.schema.fields)
+        # temporal degraded to the reference's string wire format
+        assert types["l_shipdate"] == T.StringType()
+        row = out.first()
+        assert len(row["l_shipdate"]) == 19  # 'yyyy-MM-dd HH:mm:ss'
