@@ -12,6 +12,7 @@ from .dedup import (
     shingle,
     simhash_fingerprints,
     simhash_pairs,
+    simhash_pairs_banded,
 )
 from .similarity import cosine_pairs, cosine_topk, lsh_buckets
 from .skew import salted_join
@@ -24,6 +25,7 @@ __all__ = [
     "minhash_lsh_dedup",
     "simhash_fingerprints",
     "simhash_pairs",
+    "simhash_pairs_banded",
     "cosine_topk",
     "cosine_pairs",
     "lsh_buckets",

@@ -19,6 +19,7 @@ __all__ = [
     "minhash_lsh_dedup",
     "simhash_fingerprints",
     "simhash_pairs",
+    "simhash_pairs_banded",
 ]
 
 DEFAULT_PERMS = [
@@ -224,4 +225,54 @@ def simhash_pairs(sims: DataFrame, hamming_max: int) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= hamming_max)
+    )
+
+def simhash_pairs_banded(
+    sims: DataFrame,
+    hamming_max: int,
+    bits: int = 60,
+) -> DataFrame:
+    """Scale path for :func:`simhash_pairs`: split each fingerprint
+    into ``hamming_max + 1`` bit-bands — by pigeonhole, two
+    fingerprints within the Hamming radius must agree on at least one
+    whole band, so band-equality collisions are a complete candidate
+    set. Exact Hamming filtering on candidates gives results identical
+    to the direct self-join, at O(collisions) instead of O(n^2).
+    """
+    n_bands = hamming_max + 1
+    band_width = (bits + n_bands - 1) // n_bands
+    mask = (1 << band_width) - 1
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band_idx",
+        F.expr(
+            f"(simhash >> (band_idx * {band_width})) & {mask}"
+        ).alias("band_val"),
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "band_idx",
+        "band_val",
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        ba.join(bb, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= hamming_max
     )

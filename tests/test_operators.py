@@ -124,3 +124,26 @@ class TestTextOps:
         n_strict = strict.filter("passes_quality").count()
         n_loose = loose.filter("passes_quality").count()
         assert n_strict < n_loose
+
+
+class TestSimhashBanded:
+    def test_banded_equals_direct(self, spark, sf_dir):
+        from bend_archiver_spark.operators import (
+            simhash_fingerprints,
+            simhash_pairs,
+            simhash_pairs_banded,
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        sims = simhash_fingerprints(docs, "doc_id", "text")
+        direct = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_pairs(sims, 10).collect()
+        }
+        banded = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_pairs_banded(sims, 10).collect()
+        }
+        # pigeonhole guarantees completeness; exact filter guarantees
+        # no false positives -> identical result sets
+        assert banded == direct
+        assert len(direct) > 0
