@@ -223,9 +223,18 @@ def chunk_conditions(conditions: list[str], max_thread: int) -> list[list[str]]:
 
 def coerce_key(val: object) -> int:
     """Coerce a min/max split-key scan result to a non-negative int.
-    Parity: source/source.go:238-259 (toUint64)."""
+    Parity: source/source.go:238-259 (toUint64). Also accepts
+    ``Decimal`` — the Catalyst type for unsigned 64-bit keys is
+    DecimalType(20,0) (SURVEY §1.2), so bounds probes on such keys
+    return decimals."""
+    from decimal import Decimal
+
     if isinstance(val, bool):
         raise TypeError(f"unexpected type: {type(val).__name__}")
+    if isinstance(val, Decimal):
+        if val < 0:
+            raise ValueError(f"negative value: {val}")
+        return int(val)
     if isinstance(val, int):
         if val < 0:
             raise ValueError(f"negative value: {val}")

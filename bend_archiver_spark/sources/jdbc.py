@@ -175,18 +175,9 @@ class JdbcSource:
             plan = JdbcReadPlan(
                 plan.url, plan.table, ["1 = 0"], plan.options
             )
-        reader = (
-            self.spark.read.format("jdbc")
-            .option("url", plan.url)
-            .option("dbtable", plan.table)
-        )
-        for k, v in plan.options.items():
-            reader = reader.option(k, v)
-        return reader.load() if len(plan.predicates) == 0 else (
-            self.spark.read.jdbc(
-                url=plan.url,
-                table=plan.table,
-                predicates=plan.predicates,
-                properties=plan.options,
-            )
+        return self.spark.read.jdbc(
+            url=plan.url,
+            table=plan.table,
+            predicates=plan.predicates,
+            properties=plan.options,
         )

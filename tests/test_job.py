@@ -97,3 +97,22 @@ class TestReferenceCompat:
         assert types["l_shipdate"] == T.StringType()
         row = out.first()
         assert len(row["l_shipdate"]) == 19  # 'yyyy-MM-dd HH:mm:ss'
+
+
+class TestDecimalSplitKey:
+    def test_archive_with_unsigned_bigint_key(self, spark, sf_dir, tmp_path):
+        """DecimalType(20,0) split key — the unsigned-bigint mapping
+        (F1 fixture id column). The bounds probe returns Decimals;
+        the planner must coerce them."""
+        from decimal import Decimal
+        from pyspark.sql import functions as F
+
+        tgt = str(tmp_path / "dec")
+        li = load_table(spark, sf_dir, "lineitem").withColumn(
+            "big_id",
+            (F.col("l_orderkey").cast("decimal(20,0)") + Decimal(2) ** 63),
+        )
+        cfg = _cfg(tgt, source_split_key="big_id")
+        report = FileArchiveJob(spark, cfg, li).run(check_idempotency=False)
+        assert report.verify.is_correct
+        assert report.source_rows > 0

@@ -165,6 +165,15 @@ class TestCoerceKey:
         assert coerce_key(b"42") == 42
         assert coerce_key(3.9) == 3
 
+    def test_decimal_unsigned_bigint(self):
+        # DecimalType(20,0) is Catalyst's unsigned-bigint mapping;
+        # values above int64 max must survive coercion
+        from decimal import Decimal
+        assert coerce_key(Decimal(2**63 + 5)) == 2**63 + 5
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            coerce_key(Decimal(-1))
+
     def test_negatives_rejected(self):
         with pytest.raises(ValueError):
             coerce_key(-1)
