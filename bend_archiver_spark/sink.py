@@ -23,7 +23,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_batch", "copy_into_sql", "SinkResult", "NDJSON_TS_FMT"]
+__all__ = ["write_batch", "write_jdbc", "copy_into_sql", "SinkResult", "NDJSON_TS_FMT"]
 
 # micro-precision timestamps: the default JSON format is milliseconds,
 # which silently truncates micros and breaks round-trip fingerprints
@@ -65,8 +65,30 @@ def write_batch(
                 "delta-spark not available in this environment"
             ) from e
     else:
-        raise ValueError(f"unsupported sink format: {fmt}")
+        raise ValueError(
+            f"unsupported sink format: {fmt} "
+            "(for RDBMS targets use write_jdbc)"
+        )
     return SinkResult(path=path, format=fmt)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    mode: str = "append",
+    batchsize: int = 10_000,
+) -> SinkResult:
+    """Distributed JDBC write — the passthrough sink for warehouse
+    targets reachable over JDBC (each task writes its partition with
+    batched inserts; ``batchsize`` mirrors the read-side fetchsize).
+    For Databend specifically, the higher-throughput path is a file
+    write to the stage location + ``copy_into_sql`` executed over a
+    JDBC statement."""
+    props = {**properties, "batchsize": str(batchsize)}
+    df.write.jdbc(url=url, table=table, mode=mode, properties=props)
+    return SinkResult(path=f"{url}/{table}", format="jdbc")
 
 
 def copy_into_sql(
