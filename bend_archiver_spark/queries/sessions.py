@@ -181,3 +181,41 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "streaming_window_counts",
+    oracle="""
+    SELECT strftime(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 7200) * 7200),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 7200) * 7200 + 7200),
+                    '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type,
+           COUNT(*) AS rows_in_window
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("sessions", "streaming", "window"),
+)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming module's tumbling-window aggregation
+    (streaming/archive.py windowed_event_counts, hour unit -> 2h
+    stride per the reference's unit map) evaluated in batch mode —
+    the exact code path the watermarked stream runs, pinned against
+    an epoch-arithmetic oracle. F.window buckets align to the unix
+    epoch and FLOOR sub-second parts; the oracle floors explicitly
+    (DuckDB's double->bigint cast rounds, which would shift boundary
+    events one window)."""
+    from ..streaming.archive import windowed_event_counts
+    from ..tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, unit="hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "rows_in_window",
+    )
