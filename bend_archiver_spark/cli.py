@@ -64,9 +64,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.sf_table:
             source_df = load_table(spark, args.source_path, args.sf_table)
         elif args.source_path:
-            source_df = (
-                spark.read.format(args.source_format).load(args.source_path)
-            )
+            if args.source_format == "parquet":
+                from .tables import load_parquet
+
+                source_df = load_parquet(spark, args.source_path)
+            else:
+                source_df = (
+                    spark.read.format(args.source_format).load(args.source_path)
+                )
         else:
             from .sources.jdbc import JdbcSource
 

@@ -55,3 +55,42 @@ def generate_archive_config(
     }
     conf.update(overrides)
     return conf
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI parity with tools/confgenerotor (conf_generate.go flags:
+    -sourceDb -sourceTable -targetDbTable -timeunit), emitting the
+    config JSON to stdout or a file."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(
+        prog="bend_archiver_spark.confgen",
+        description="Generate a rolling-archive job config",
+    )
+    p.add_argument("--source-db", required=True)
+    p.add_argument("--source-table", required=True)
+    p.add_argument("--target-db-table", required=True)
+    p.add_argument("--time-key", default="t1")
+    p.add_argument("--timeunit", default="day", choices=sorted(_UNIT_DELTAS))
+    p.add_argument("--out", default="", help="output path (default stdout)")
+    args = p.parse_args(argv)
+    conf = generate_archive_config(
+        args.source_db,
+        args.source_table,
+        args.target_db_table,
+        time_key=args.time_key,
+        timeunit=args.timeunit,
+    )
+    text = json.dumps(conf, indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+        print(f"wrote {args.out}")
+    else:
+        print(text)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import Config
-from .planner import adjust_batch_size, coerce_key
+from .planner import adjust_batch_size, coerce_key, split_time_windows
 from .sink import write_batch
 from .verify import VerifyResult, count_verify, idempotency_gate
 
@@ -71,6 +71,32 @@ class FileArchiveJob:
         ).first()
         return coerce_key(row["mn"]), coerce_key(row["mx"]), int(row["cnt"])
 
+    def _plan_partitions(self, filtered: DataFrame) -> tuple[int, int, str, int]:
+        """Split-mode dispatch (Worker.Run branches on SourceSplitTimeKey,
+        worker/worker.go:248-252): returns (num_partitions, batch_size,
+        partition_column, row_count)."""
+        cfg = self.cfg
+        if cfg.source_split_time_key:
+            key = cfg.source_split_time_key
+            row = filtered.agg(
+                F.min(key).alias("mn"),
+                F.max(key).alias("mx"),
+                F.count(F.lit(1)).alias("cnt"),
+            ).first()
+            cnt = int(row["cnt"])
+            if cnt == 0:
+                return 0, cfg.batch_size, key, 0
+            windows = split_time_windows(
+                key, cfg.time_split_unit, row["mn"], row["mx"]
+            )
+            return max(1, min(len(windows), 10_000)), cfg.batch_size, key, cnt
+        mn, mx, cnt = self._probe_bounds(filtered)
+        if cnt == 0:
+            return 0, cfg.batch_size, cfg.source_split_key, 0
+        batch = adjust_batch_size(cfg.batch_size, mn, mx, cnt)
+        n_parts = max(1, min((mx - mn) // batch + 1, 10_000))
+        return int(n_parts), batch, cfg.source_split_key, cnt
+
     def run(self, check_idempotency: bool = True) -> ArchiveReport:
         cfg = self.cfg
         t0 = time.monotonic()
@@ -97,7 +123,7 @@ class FileArchiveJob:
             except AnalysisException:
                 pass  # target does not exist yet — clean slate
 
-        mn, mx, cnt = self._probe_bounds(filtered)
+        n_parts, batch, part_col, cnt = self._plan_partitions(filtered)
         if cnt == 0:
             # empty-table short-circuit (worker/worker.go:92-95)
             return ArchiveReport(
@@ -105,16 +131,11 @@ class FileArchiveJob:
                 time.monotonic() - t0, VerifyResult(0, 0),
             )
 
-        batch = adjust_batch_size(cfg.batch_size, mn, mx, cnt)
-        n_parts = max(1, min((mx - mn) // batch + 1, 10_000))
-
         # The split plan as partitioning: range-partition on the split
-        # key — same disjoint key ranges as the predicate planner, but
-        # computed by Spark's range partitioner in one shuffle instead
-        # of N re-scans.
-        extracted = filtered.repartitionByRange(
-            int(n_parts), F.col(cfg.source_split_key)
-        )
+        # key (or time key) — same disjoint ranges as the predicate
+        # planner, but computed by Spark's range partitioner in one
+        # shuffle instead of N re-scans.
+        extracted = filtered.repartitionByRange(n_parts, F.col(part_col))
         if cfg.reference_compat:
             from .sources.typemap import apply_reference_compat
 

@@ -26,14 +26,27 @@ TABLES = [
     "embeddings",
 ]
 
-# columns stored as TIMESTAMP(NANOS) per table
-_NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+def _nano_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), read from the footer."""
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table, normalizing nano-timestamps."""
-    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    nano_cols = _NANO_TS_COLS.get(name, [])
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, normalizing TIMESTAMP(NANOS) columns (which Spark
+    otherwise rejects with PARQUET_TYPE_ILLEGAL) to micro-precision
+    timestamps — the same truncation DuckDB applies."""
+    nano_cols = _nano_ts_columns(path)
     if not nano_cols:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -41,8 +54,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nano_cols:
         # integer division: `/` would go through double and lose precision
         # (nanos-since-epoch ~1.7e18 > 2^53)
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table, normalizing nano-timestamps."""
+    return load_parquet(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -61,6 +61,55 @@ class TestFileArchiveJob:
         assert not res.is_correct
 
 
+class TestTimeSplitFileArchive:
+    def test_time_split_round_trip(self, spark, sf_dir, tmp_path):
+        """Time-split mode over the events table (Worker.Run's
+        SourceSplitTimeKey branch, worker/worker.go:248-252): partitions
+        come from the tumbling-window plan, not the integer key."""
+        tgt = str(tmp_path / "ts")
+        ev = load_table(spark, sf_dir, "events")
+        cfg = Config(
+            source_table="events",
+            source_split_time_key="ts",
+            time_split_unit="day",
+            source_where_condition=(
+                "ts >= '2024-01-01 00:00:00' and ts < '2024-01-08 00:00:00'"
+            ),
+            target_path=tgt,
+            target_format="parquet",
+        )
+        report = FileArchiveJob(spark, cfg, ev).run()
+        expected = ev.filter(cfg.source_where_condition).count()
+        assert report.verify.is_correct
+        assert report.source_rows == expected > 0
+        # 7 day-windows over the week span (final window inclusive may add one)
+        assert 7 <= report.num_partitions <= 8
+        shutil.rmtree(tgt, ignore_errors=True)
+
+
+class TestNanoTimestampParquet:
+    def test_load_parquet_normalizes_nanos(self, spark, sf_dir):
+        """Generic parquet loads (the CLI --source-path route) must
+        survive TIMESTAMP(NANOS) files via footer detection, matching
+        load_table's micro truncation."""
+        from pyspark.sql import types as T
+
+        from bend_archiver_spark.tables import load_parquet, load_table
+
+        via_generic = load_parquet(spark, f"{sf_dir}/events.parquet")
+        assert dict(via_generic.dtypes)["ts"] == "timestamp"
+        via_table = load_table(spark, sf_dir, "events")
+        assert (
+            via_generic.select("event_id", "ts").exceptAll(
+                via_table.select("event_id", "ts")
+            ).count()
+            == 0
+        )
+        # non-nano files pass straight through
+        li = load_parquet(spark, f"{sf_dir}/lineitem.parquet")
+        assert li.count() > 0
+
+
 class TestJdbcPlanGeneration:
     def test_urls_and_options_without_live_db(self, spark):
         cfg = Config(
