@@ -15,5 +15,6 @@ from . import dedup  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
+from . import udxf  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec"]

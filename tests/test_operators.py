@@ -147,3 +147,44 @@ class TestSimhashBanded:
         # no false positives -> identical result sets
         assert banded == direct
         assert len(direct) > 0
+
+
+class TestUdxfSurface:
+    def test_udtf_null_and_empty_text(self, spark):
+        """UDTF emits nothing for NULL text and skips empty tokens
+        (double spaces)."""
+        from bend_archiver_spark.functions import register_udtfs
+
+        register_udtfs(spark)
+        spark.createDataFrame(
+            [(1, "a  b c"), (2, None), (3, "")], "doc_id long, text string"
+        ).createOrReplaceTempView("udtf_edge")
+        rows = spark.sql(
+            """
+            SELECT d.doc_id, tk.token, tk.pos
+            FROM udtf_edge d, LATERAL tokenize_udtf(d.text) tk
+            """
+        ).collect()
+        assert {(r.doc_id, r.token, r.pos) for r in rows} == {
+            (1, "a", 0),
+            (1, "b", 1),
+            (1, "c", 2),
+        }
+
+    def test_udaf_zero_weight_group(self, spark):
+        from pyspark.sql import functions as F
+
+        from bend_archiver_spark.functions import weighted_avg_quantized
+
+        df = spark.createDataFrame(
+            [("g1", 2, 10), ("g1", 3, 20), ("g2", 0, 99)],
+            "grp string, w long, x long",
+        )
+        out = {
+            r.grp: r.wavg
+            for r in df.groupBy("grp")
+            .agg(weighted_avg_quantized(F.col("w"), F.col("x")).alias("wavg"))
+            .collect()
+        }
+        assert out["g1"] == (2 * 10 + 3 * 20) / 5
+        assert out["g2"] is None
