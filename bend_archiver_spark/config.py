@@ -82,6 +82,9 @@ class Config:
     # Engine-local extensions (not in the reference config)
     target_path: str = ""  # file/Delta sink location (alt. to databend_table)
     target_format: str = "parquet"  # parquet | delta | ndjson | jdbc
+    # hive-style layout columns for the sink (e.g. a date column): at
+    # scale this is what makes later reads partition-prunable
+    target_partition_by: list[str] = field(default_factory=list)
     strict_reference_semantics: bool = False
     # degrade output to the reference's wire shape (bool->tinyint,
     # temporal->string, decimal->double); see sources/typemap.py
@@ -118,6 +121,7 @@ class Config:
         "oracleSID": "oracle_sid",
         "targetPath": "target_path",
         "targetFormat": "target_format",
+        "targetPartitionBy": "target_partition_by",
         "referenceCompat": "reference_compat",
     }
 
@@ -144,6 +148,12 @@ class Config:
             self.user_stage = "~"
         if self.max_thread == 0:
             self.max_thread = 1
+        if isinstance(self.target_partition_by, str):
+            self.target_partition_by = [
+                c.strip()
+                for c in self.target_partition_by.split(",")
+                if c.strip()
+            ]
         if self.source_split_key and self.source_split_time_key:
             raise ConfigError(
                 "cannot set both sourceSplitKey and sourceSplitTimeKey"

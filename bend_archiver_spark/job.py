@@ -140,7 +140,13 @@ class FileArchiveJob:
             from .sources.typemap import apply_reference_compat
 
             extracted = apply_reference_compat(extracted)
-        write_batch(extracted, cfg.target_path, cfg.target_format, mode="append")
+        write_batch(
+            extracted,
+            cfg.target_path,
+            cfg.target_format,
+            mode="append",
+            partition_by=cfg.target_partition_by or None,
+        )
 
         target = self.spark.read.format(cfg.target_format).load(cfg.target_path)
         # verification is predicate-scoped (a target dir may hold other
@@ -216,7 +222,13 @@ class JdbcArchiveJob:
                 time.monotonic() - t0, VerifyResult(0, 0),
             )
         df = self.source.read(plan)
-        write_batch(df, cfg.target_path, cfg.target_format, mode="append")
+        write_batch(
+            df,
+            cfg.target_path,
+            cfg.target_format,
+            mode="append",
+            partition_by=cfg.target_partition_by or None,
+        )
 
         source_rows = self.source.count()
         target = self.spark.read.format(cfg.target_format).load(cfg.target_path)

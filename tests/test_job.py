@@ -61,6 +61,45 @@ class TestFileArchiveJob:
         assert not res.is_correct
 
 
+class TestPartitionedSink:
+    def test_hive_layout_and_partition_pruning(self, spark, sf_dir, tmp_path):
+        """targetPartitionBy writes a hive-style layout; a later read
+        filtered on the partition column prunes partitions (the scan
+        shows PartitionFilters, and only matching directories load)."""
+        import os
+
+        tgt = str(tmp_path / "bypart")
+        li = load_table(spark, sf_dir, "lineitem")
+        cfg = _cfg(tgt, target_partition_by=["l_returnflag"])
+        report = FileArchiveJob(spark, cfg, li).run()
+        assert report.verify.is_correct
+        dirs = {d for d in os.listdir(tgt) if d.startswith("l_returnflag=")}
+        assert dirs == {"l_returnflag=A", "l_returnflag=N", "l_returnflag=R"}
+
+        back = spark.read.parquet(tgt).filter("l_returnflag = 'R'")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert "l_returnflag" in plan.split("PartitionFilters", 1)[1][:200]
+        expected = li.filter(
+            "l_quantity > 5 AND l_returnflag = 'R'"
+        ).count()
+        assert back.count() == expected
+        shutil.rmtree(tgt, ignore_errors=True)
+
+    def test_partition_by_from_json_string(self):
+        from bend_archiver_spark.config import Config
+
+        cfg = Config.from_dict(
+            {
+                "sourceTable": "t",
+                "sourceSplitKey": "id",
+                "sourceWhereCondition": "id > 0",
+                "targetPartitionBy": "a, b",
+            }
+        )
+        assert cfg.target_partition_by == ["a", "b"]
+
+
 class TestTimeSplitFileArchive:
     def test_time_split_round_trip(self, spark, sf_dir, tmp_path):
         """Time-split mode over the events table (Worker.Run's

@@ -70,3 +70,36 @@ class TestWindowedCounts:
         }
         assert streamed == batch
         shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+class TestStreamingDedup:
+    def test_duplicates_dropped_within_watermark(self, spark, sf_dir, tmp_path):
+        """A stream carrying re-delivered records emits each key once;
+        the batch-mode dedup over the same files is the oracle."""
+        from bend_archiver_spark.streaming import dedup_stream
+
+        src = str(tmp_path / "dsrc")
+        tgt = str(tmp_path / "dtgt")
+        ckpt = str(tmp_path / "dckpt")
+        events = load_table(spark, sf_dir, "events").filter("event_id < 200")
+        schema = events.schema
+        # land the originals plus a re-delivered copy of half of them
+        events.write.mode("append").parquet(src)
+        events.filter("event_id % 2 = 0").write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        deduped = dedup_stream(stream, ("event_id",), "ts", "1 hour")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", tgt)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(tgt)
+        oracle = dedup_stream(spark.read.parquet(src), ("event_id",))
+        assert got.count() == oracle.count() == events.count()
+        assert got.select("event_id").distinct().count() == got.count()
+        shutil.rmtree(str(tmp_path), ignore_errors=True)
