@@ -62,16 +62,27 @@ class TestTopK:
 
 
 class TestNoPythonInHotPath:
-    def test_only_multimodal_stub_uses_python(self, spark, sf_dir):
-        """Every query except the explicitly-Arrow-batched multimodal
-        decode stub must stay fully JVM-side: no row-at-a-time or
-        Arrow Python evaluation nodes anywhere in the plan."""
+    # the only queries allowed to evaluate Python: the Arrow-batched
+    # multimodal decode pipeline and the two deliberate UDxF-surface
+    # demonstrations (functions/udxf.py — slow path by design)
+    PYTHON_ALLOWED = {
+        "multimodal_decode_stub",
+        "udtf_token_stats",
+        "udaf_weighted_discount",
+    }
+
+    def test_only_declared_queries_use_python(self, spark, sf_dir):
+        """Every other query must stay fully JVM-side: no row-at-a-time
+        or Arrow Python evaluation nodes anywhere in the plan."""
         offenders = []
         for name in REGISTRY:
-            if name == "multimodal_decode_stub":
+            if name in self.PYTHON_ALLOWED:
                 continue
             plan = plan_of(spark, sf_dir, name)
-            if "EvalPython" in plan or "MapInPandas" in plan:
+            if any(
+                marker in plan
+                for marker in ("EvalPython", "InPandas", "PythonUDTF")
+            ):
                 offenders.append(name)
         assert offenders == []
 
