@@ -149,10 +149,15 @@ class FileArchiveJob:
         )
 
         target = self.spark.read.format(cfg.target_format).load(cfg.target_path)
-        # verification is predicate-scoped (a target dir may hold other
-        # archives); under reference_compat the degraded column types
-        # may not accept the source predicate — fall back to full count
-        src_rows = filtered.count()
+        # source side of the verification contract (worker/worker.go:230-242):
+        # the bounds probe already counted the filtered source — file
+        # sources are immutable within the job, so reuse it instead of
+        # a second full scan
+        src_rows = cnt
+        # target verification is predicate-scoped (a target dir may hold
+        # other archives); under reference_compat the degraded column
+        # types may not accept the source predicate — fall back to full
+        # count
         try:
             tgt_rows = (
                 target.filter(cfg.source_where_condition).count()
