@@ -134,8 +134,14 @@ class FileArchiveJob:
         # The split plan as partitioning: range-partition on the split
         # key (or time key) — same disjoint ranges as the predicate
         # planner, but computed by Spark's range partitioner in one
-        # shuffle instead of N re-scans.
-        extracted = filtered.repartitionByRange(n_parts, F.col(part_col))
+        # shuffle instead of N re-scans. Sorting within each partition
+        # costs nothing extra at write time (data is already range-
+        # clustered) and gives every parquet row group a tight min/max
+        # on the key, so later key-range scans prune at row-group
+        # granularity, not just file granularity.
+        extracted = filtered.repartitionByRange(
+            n_parts, F.col(part_col)
+        ).sortWithinPartitions(part_col)
         if cfg.reference_compat:
             from .sources.typemap import apply_reference_compat
 
