@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.textops import quality_scores
-from .base import register, t
+from .base import hash64_expr, hash64_sql, register, t
 
 _MIN_WORDS = 30
 
@@ -114,4 +114,74 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.col("hit").isNotNull().alias("is_duplicate_of_corpus")
         )
+    )
+
+
+@register(
+    "pipeline_hash_sample",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT) AS chars_sampled
+    FROM documents
+    WHERE {hash64_sql("CAST(doc_id AS VARCHAR)")} % 100 < 10
+    GROUP BY lang
+    """,
+    tags=("pipeline", "sampling"),
+)
+def pipeline_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample keyed on a portable hash of the
+    document id — the reproducible-sampling primitive a training
+    pipeline needs (same docs selected on every run, every engine,
+    any partitioning; ``df.sample`` is seed+partition dependent).
+    At 100 TB this is a pushed-down filter, not a shuffle."""
+    d = t(spark, sf_dir, "documents")
+    bucket = hash64_expr(F.col("doc_id").cast("string")) % 100
+    return (
+        d.filter(bucket < 10)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("n_chars").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("chars_sampled"),
+        )
+    )
+
+
+@register(
+    "pipeline_train_val_test",
+    oracle=f"""
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT lang,
+             CASE
+               WHEN {hash64_sql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                 THEN 'train'
+               WHEN {hash64_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    ) assigned
+    GROUP BY lang, split
+    """,
+    tags=("pipeline", "sampling"),
+)
+def pipeline_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment from the same portable hash
+    buckets — membership is a pure function of the document id, so
+    re-runs, engine changes, and repartitioning never move a document
+    across splits (the property that prevents train/test leakage)."""
+    d = t(spark, sf_dir, "documents")
+    bucket = hash64_expr(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
