@@ -51,7 +51,13 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for c in nano_cols:
+        # Arrow also reports Spark-written INT96 timestamps as ns, but
+        # Spark reads those as TimestampType directly — only columns
+        # that actually surfaced as nanosAsLong longs need converting.
+        if dtypes.get(c) != "bigint":
+            continue
         # integer division: `/` would go through double and lose precision
         # (nanos-since-epoch ~1.7e18 > 2^53)
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
