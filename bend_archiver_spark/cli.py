@@ -22,6 +22,8 @@ import json
 import sys
 import time
 
+from pyspark.errors import AnalysisException
+
 from .config import Config, ConfigError, load_config
 from .job import FileArchiveJob
 from .metrics import ThroughputRecorder
@@ -34,7 +36,25 @@ def _parse_args(argv: list[str] | None) -> argparse.Namespace:
         prog="bend_archiver_spark",
         description="PySpark-native archive engine (bend-archiver capability parity)",
     )
-    p.add_argument("--conf", required=True, help="JSON job config path")
+    p.add_argument("--conf", default="", help="JSON job config path")
+    p.add_argument(
+        "--compact",
+        default="",
+        metavar="PATH",
+        help="maintenance mode: compact small parquet files under PATH "
+        "(no --conf needed)",
+    )
+    p.add_argument(
+        "--compact-key",
+        default="",
+        help="re-cluster on this column during --compact",
+    )
+    p.add_argument(
+        "--compact-target-mb",
+        type=int,
+        default=128,
+        help="target file size for --compact (MiB)",
+    )
     p.add_argument("--source-path", default="", help="file-source path (parquet/csv/json); omit for JDBC mode")
     p.add_argument("--source-format", default="parquet")
     p.add_argument("--target-path", default="", help="override target path")
@@ -44,8 +64,46 @@ def _parse_args(argv: list[str] | None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
+def _run_compact(args: argparse.Namespace) -> int:
+    from .maintenance import compact_files
+
+    spark = get_spark("bend_archiver_spark_compact")
+    try:
+        res = compact_files(
+            spark,
+            args.compact,
+            target_file_bytes=args.compact_target_mb * 1024 * 1024,
+            key=args.compact_key or None,
+        )
+    except (RuntimeError, OSError) as e:
+        print(f"error: compaction failed: {e}", file=sys.stderr)
+        return 1
+    except AnalysisException as e:
+        print(f"error: cannot read {args.compact!r}: {e}", file=sys.stderr)
+        return 1
+    finally:
+        spark.stop()
+    print(
+        json.dumps(
+            {
+                "compacted": res.path,
+                "files_before": res.files_before,
+                "files_after": res.files_after,
+                "bytes_before": res.bytes_before,
+                "rows": res.rows,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _parse_args(argv)
+    if args.compact:
+        return _run_compact(args)
+    if not args.conf:
+        print("error: --conf is required (unless using --compact)", file=sys.stderr)
+        return 2
     try:
         cfg: Config = load_config(args.conf)
     except (OSError, json.JSONDecodeError, ConfigError) as e:
