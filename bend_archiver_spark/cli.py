@@ -6,6 +6,7 @@ Usage (spark-submit or plain python):
     python -m bend_archiver_spark --conf conf.json
     python -m bend_archiver_spark --conf conf.json --source-path /data/t.parquet \\
         --target-path /archive/t --dry-run
+    python -m bend_archiver_spark --compact /archive/t --compact-key id
 
 File mode (``--source-path``) archives parquet/csv/json files and is
 fully self-contained; JDBC mode (config with connection fields) needs
