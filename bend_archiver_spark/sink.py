@@ -9,6 +9,8 @@ object store, which is exactly the role the stage played.
 
 Formats:
 - ``parquet`` (default) — columnar, the scale path.
+- ``orc``     — the other native columnar format (predicate pushdown
+  and column pruning work the same; useful for Hive-ecosystem targets).
 - ``ndjson``  — byte-compatible with the reference's stage files
   (one JSON object per line, NULLs as ``null``; source/source.go:164-189).
 - ``delta``   — used when delta-spark is installed (gated import).
@@ -51,6 +53,8 @@ def write_batch(
         writer = writer.partitionBy(*partition_by)
     if fmt == "parquet":
         writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
     elif fmt == "ndjson":
         # line-delimited JSON, NULL fields serialized as null — matches
         # the reference's stage-file format (source/source.go:172-180)

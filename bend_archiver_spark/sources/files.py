@@ -1,4 +1,5 @@
-"""File sources: CSV / NDJSON / parquet readers with explicit schemas.
+"""File sources: CSV / NDJSON / parquet / ORC readers with explicit
+schemas.
 
 The reference lists CSV and NDJSON sources as "coming soon"
 (README.md supported-sources table) — here they exist. Schemas are
@@ -14,7 +15,7 @@ from pyspark.sql import types as T
 
 __all__ = ["read_source", "SUPPORTED_FORMATS"]
 
-SUPPORTED_FORMATS = ("parquet", "csv", "ndjson", "json")
+SUPPORTED_FORMATS = ("parquet", "orc", "csv", "ndjson", "json")
 
 
 def read_source(
@@ -29,11 +30,11 @@ def read_source(
     """Read a file source. A schema skips inference (mandatory at
     scale: schema inference reads the data twice); without one, CSV
     falls back to header+inference for interactive use."""
-    if fmt == "parquet":
+    if fmt in ("parquet", "orc"):
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(path)
+        return reader.parquet(path) if fmt == "parquet" else reader.orc(path)
     if fmt == "csv":
         reader = (
             spark.read.option("header", str(csv_header).lower())

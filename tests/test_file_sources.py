@@ -50,6 +50,19 @@ class TestFileSources:
         back = read_source(spark, path, fmt="csv")
         assert back.count() == cust.count()
 
+    def test_orc_round_trip(self, spark, sf_dir, tmp_path):
+        """ORC write -> read preserves content exactly (nulls included);
+        both columnar formats share the pushdown/pruning path."""
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "props", F.when(F.col("event_id") % 3 == 0, F.col("props"))
+        )
+        path = str(tmp_path / "orc")
+        write_batch(ev, path, fmt="orc", mode="overwrite")
+        back = read_source(spark, path, fmt="orc", schema=ev.schema)
+        assert back.count() == ev.count()
+        assert content_fingerprint(ev) == content_fingerprint(back)
+        shutil.rmtree(path, ignore_errors=True)
+
     def test_unknown_format_rejected(self, spark):
         with pytest.raises(ValueError, match="unsupported source format"):
             read_source(spark, "/tmp/x", fmt="avro")
