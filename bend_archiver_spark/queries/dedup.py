@@ -346,3 +346,72 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.similarity.cosine_pairs."""
     emb = t(spark, sf_dir, "embeddings")
     return sim_ops.cosine_pairs(emb, "vec_id", "embedding", _COSINE_THRESHOLD)
+
+
+# ---------------------------------------------------------------------
+# Connected components: pairs -> dedup clusters
+# ---------------------------------------------------------------------
+
+_CC_ORACLE = r"""
+WITH RECURSIVE
+words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+  FROM documents),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, greatest(len(arr) - 2, 0)),
+                i -> array_to_string(list_slice(arr, i + 1, i + 3), ' '))) AS tok
+  FROM words),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+comp AS (SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node)
+SELECT doc_id, component_id,
+       CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+         AS component_size
+FROM comp
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=_CC_ORACLE,
+    tags=("dedup", "graph"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: Jaccard pairs (threshold 0.7) form edges,
+    iterative min-label propagation (operators.graph) closes them into
+    components; every document lands in exactly one cluster keyed by
+    its minimum reachable doc_id (singletons cluster with themselves).
+    The DuckDB oracle computes the same fixpoint as a recursive CTE —
+    transitive closure is the one dedup step plain SQL can't do in a
+    fixed number of passes, which is why the Spark side is an
+    iterative driver loop with checkpointing."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ops.jaccard_pairs(
+        ops.shingle(d, "doc_id", "text"), _JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, d.select("doc_id"))
+    return comp.withColumn(
+        "component_size",
+        F.count(F.lit(1)).over(Window.partitionBy("component_id")).cast("bigint"),
+    )

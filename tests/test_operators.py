@@ -188,3 +188,38 @@ class TestUdxfSurface:
         }
         assert out["g1"] == (2 * 10 + 3 * 20) / 5
         assert out["g2"] is None
+
+
+class TestConnectedComponents:
+    def test_path_graph_converges_over_diameter(self, spark):
+        """A 10-node path needs several propagation rounds (diameter 9
+        with doubling via min-propagation) — exercises the iterative
+        loop, not just single-hop cliques."""
+        from bend_archiver_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(10, 19)], ["doc_a", "doc_b"]
+        )
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(10, 20)] + [(99,)], ["doc_id"]
+        )
+        out = connected_components(edges, nodes).collect()
+        labels = {r["doc_id"]: r["component_id"] for r in out}
+        assert all(labels[i] == 10 for i in range(10, 20))
+        assert labels[99] == 99  # isolated node = singleton component
+
+    def test_two_components_and_determinism(self, spark):
+        from bend_archiver_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], ["doc_a", "doc_b"]
+        )
+        nodes = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 7, 8)], ["doc_id"]
+        )
+        for _ in range(2):
+            out = {
+                r["doc_id"]: r["component_id"]
+                for r in connected_components(edges, nodes).collect()
+            }
+            assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
