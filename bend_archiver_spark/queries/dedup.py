@@ -352,7 +352,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Connected components: pairs -> dedup clusters
 # ---------------------------------------------------------------------
 
-_CC_ORACLE = r"""
+_CC_CTE = r"""
 WITH RECURSIVE
 words AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
@@ -381,6 +381,9 @@ reach(node, r) AS (
   UNION
   SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
 comp AS (SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node)
+"""
+
+_CC_ORACLE = _CC_CTE + r"""
 SELECT doc_id, component_id,
        CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
          AS component_size
@@ -414,4 +417,48 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.withColumn(
         "component_size",
         F.count(F.lit(1)).over(Window.partitionBy("component_id")).cast("bigint"),
+    )
+
+
+@register(
+    "dedup_clusters_keep_one",
+    oracle=_CC_CTE
+    + r"""
+SELECT c.component_id AS doc_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS duplicates_removed,
+       d.lang, d.source
+FROM comp c JOIN documents d ON d.doc_id = c.component_id
+GROUP BY 1, 3, 4
+""",
+    tags=("dedup", "graph", "pipeline"),
+)
+def dedup_clusters_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation payoff of clustering: materialize the deduplicated
+    corpus by keeping exactly one representative per near-dup
+    component (the minimum doc_id — which IS the component label, so
+    no extra ranking pass is needed) and report how many duplicates
+    each keeper absorbed. One groupBy over the (node, label) table
+    plus one broadcast-size join back to metadata; the document text
+    itself never re-shuffles."""
+    from ..operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ops.jaccard_pairs(
+        ops.shingle(d, "doc_id", "text"), _JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, d.select("doc_id"))
+    survivors = comp.groupBy("component_id").agg(
+        (F.count(F.lit(1)) - F.lit(1)).cast("bigint").alias("duplicates_removed")
+    )
+    return (
+        survivors.join(
+            d.select("doc_id", "lang", "source"),
+            survivors["component_id"] == d["doc_id"],
+        )
+        .select(
+            F.col("component_id").alias("doc_id"),
+            "duplicates_removed",
+            "lang",
+            "source",
+        )
     )
