@@ -50,6 +50,9 @@ def connected_components(
         F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
     )
     und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the edge list once: its lineage is the (expensive)
+    # pair-finding pipeline, and every propagation round re-reads it
+    und = und.localCheckpoint()
     labels = nodes.select(
         F.col(node_col).cast("bigint").alias("node")
     ).withColumn("label", F.col("node"))
