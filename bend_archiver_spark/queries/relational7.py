@@ -1,0 +1,165 @@
+"""Range-frame windows, time-series gap filling, and column profiling.
+
+Three capabilities the earlier relational modules don't cover:
+
+- a RANGE window frame over a date axis (value-based, not row-based —
+  trailing 7-day revenue regardless of how many orders land in the
+  frame),
+- a generated date spine joined against sparse daily aggregates (the
+  gap-filling step every time-series report needs),
+- per-column data profiling (null counts / distinct counts) via an
+  unpivot, the data-quality probe run before training-data ingestion.
+
+Reference parity note: the reference engine has no window functions or
+series generation at all (SURVEY.md Table B, `worker/stats.go:7` is
+metrics-only); these are Spark-surface capabilities the new engine
+must still expose. All three follow the decimal-sum convention from
+queries/base.py so window/aggregate sums hash-match DuckDB exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import register, t
+
+
+@register(
+    "window_range_sliding_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY CAST(o_orderdate AS DATE)
+                  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rev_7d
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_sliding_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per customer with a RANGE frame: the
+    frame is bounded by *date distance* (6 days preceding through
+    today, peers included), not a fixed row count — rowsBetween would
+    be wrong whenever order density varies. Spark needs a numeric
+    ordering column for rangeBetween, so the date becomes
+    days-since-epoch; the oracle uses DuckDB's native interval frame
+    over the same DATE. The window sum stays decimal until one final
+    cast (float window sums are partition-order-dependent)."""
+    o = t(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rev_7d"),
+    )
+
+
+@register(
+    "timeseries_gapfill_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(d.n_events, 0) AS n_events,
+           COALESCE(d.total_value, 0.0) AS total_value
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    tags=("timeseries", "gapfill"),
+)
+def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series from sparse events: a date spine generated
+    with ``sequence(min_day, max_day)`` left-joined to the daily
+    aggregate, zero-filling days with no events (the step that makes
+    downstream moving averages honest). The spine derives from a
+    1-row bounds aggregate, and the daily aggregate is one row per
+    day at any input scale, so it broadcasts (Spark cannot
+    broadcast-build the row-preserving side of an outer join, so the
+    hint goes on the right side) — at 100 TB the only real shuffle is
+    the daily groupBy, which map-side combines to one row per
+    (partition, day)."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return (
+        spine.join(F.broadcast(daily), "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+_PROFILE_COLS = ("o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "profile_columns_orders",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT) AS n_distinct
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+    tags=("profiling", "quality"),
+)
+def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile (row/null/distinct counts) via a
+    stack-unpivot: one scan produces (col_name, value) rows, one
+    groupBy yields all columns' profiles — versus one full scan per
+    column in the naive loop (the oracle's UNION ALL shape). Values
+    are profiled as strings so one schema covers every column type;
+    doubles are deliberately excluded (their string forms differ
+    across engines)."""
+    o = t(spark, sf_dir, "orders")
+    pairs = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
+    )
+    unpivoted = o.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {pairs}) AS (col_name, val)"
+        )
+    )
+    return unpivoted.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).alias("n_null"),
+        F.countDistinct("val").alias("n_distinct"),
+    )
