@@ -6,7 +6,7 @@ oracles, proving the operators compose without correctness drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.textops import quality_scores
@@ -184,4 +184,98 @@ def pipeline_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", split.alias("split"))
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE {hash64_sql("CAST(doc_id AS VARCHAR)")} % 100
+          < (CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
+    GROUP BY lang
+    """,
+    tags=("pipeline", "sampling"),
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-language rates (down-sample the
+    dominant language, keep more of the rest — the data-mixing knob
+    for training corpora). Same portable-hash bucket as the uniform
+    sample, so membership is reproducible and a document's fate never
+    depends on partitioning; unlike ``df.sampleBy`` the rates are
+    exact-deterministic, not Bernoulli draws."""
+    d = t(spark, sf_dir, "documents")
+    bucket = hash64_expr(F.col("doc_id").cast("string")) % 100
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(40))
+    return (
+        d.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+_SHARD_TOKEN_BUDGET = 10_000
+
+
+@register(
+    "pipeline_token_budget_shards",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok,
+             {hash64_sql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (
+               ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      FROM tok
+    )
+    SELECT CAST(FLOOR((c - n_tok) / {_SHARD_TOKEN_BUDGET}.0) AS BIGINT)
+             AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM cum
+    GROUP BY 1
+    """,
+    tags=("pipeline", "sharding"),
+)
+def pipeline_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget shards: shuffle the
+    corpus reproducibly (order by portable hash), running-total the
+    token counts, and open a new shard every 10k tokens — how
+    training data gets bin-packed into files of roughly equal token
+    mass. A document is assigned by where it *starts*, so shards can
+    overhang the budget by at most one document. The global ordered
+    cumulative sum is a range-partitioned prefix-sum at scale (Spark
+    plans a single rangepartitioning exchange for the window — no
+    driver collect)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tok"),
+        hash64_expr(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tok.withColumn(
+        "c", F.sum(F.col("n_tok").cast("decimal(38,0)")).over(w).cast("bigint")
+    )
+    shard = F.floor(
+        (F.col("c") - F.col("n_tok")) / F.lit(float(_SHARD_TOKEN_BUDGET))
+    ).cast("bigint")
+    return (
+        cum.select(shard.alias("shard_id"), "n_tok")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
     )

@@ -163,3 +163,43 @@ def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("val")).alias("n_null"),
         F.countDistinct("val").alias("n_distinct"),
     )
+
+
+@register(
+    "diagnose_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM per_key)
+    SELECT o_custkey, n,
+           CAST(n AS DOUBLE) / total AS share
+    FROM per_key, tot
+    ORDER BY n DESC, o_custkey
+    LIMIT 10
+    """,
+    tags=("profiling", "skew"),
+)
+def diagnose_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis: the 10 heaviest join/agg keys and the
+    share of all rows they carry — the probe run before choosing
+    between a plain shuffle join, AQE skew splitting, or the salted
+    join (operators/skew.py). One map-side-combinable groupBy plus a
+    broadcast scalar total; ordering ties break on the key so the
+    top-10 cut is deterministic in both engines."""
+    o = t(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    total = per_key.agg(
+        F.sum(F.col("n").cast("decimal(38,0)")).cast("bigint").alias("total")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "o_custkey",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy(F.desc("n"), "o_custkey")
+        .limit(10)
+    )
