@@ -6,7 +6,7 @@ oracles, proving the operators compose without correctness drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.textops import quality_scores
@@ -250,21 +250,20 @@ def pipeline_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     training data gets bin-packed into files of roughly equal token
     mass. A document is assigned by where it *starts*, so shards can
     overhang the budget by at most one document. The global ordered
-    cumulative sum is a range-partitioned prefix-sum at scale (Spark
-    plans a single rangepartitioning exchange for the window — no
-    driver collect)."""
+    cumulative sum runs through operators/prefix.prefix_sum — a
+    range-partition + per-partition-scan + broadcast-offsets plan
+    that stays parallel (a bare ``Window.orderBy`` would drag the
+    whole corpus through one partition)."""
+    from ..operators.prefix import prefix_sum
+
     d = t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tok"),
         hash64_expr(F.col("doc_id").cast("string")).alias("h"),
     )
-    w = (
-        Window.orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = tok.withColumn(
-        "c", F.sum(F.col("n_tok").cast("decimal(38,0)")).over(w).cast("bigint")
+    cum = prefix_sum(tok, ["h", "doc_id"], "n_tok").withColumn(
+        "c", F.col("c").cast("bigint")
     )
     shard = F.floor(
         (F.col("c") - F.col("n_tok")) / F.lit(float(_SHARD_TOKEN_BUDGET))

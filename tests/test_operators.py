@@ -223,3 +223,42 @@ class TestConnectedComponents:
                 for r in connected_components(edges, nodes).collect()
             }
             assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+class TestPrefixSum:
+    def test_matches_single_partition_cumsum(self, spark):
+        """Distributed two-phase scan == the naive global cumsum, on
+        data spread over many input partitions with shuffled order."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from bend_archiver_spark.operators.prefix import prefix_sum
+
+        rng = random.Random(7)
+        rows = [(i, rng.randint(0, 100)) for i in range(500)]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, ["k", "v"]).repartition(13)
+        out = {
+            r["k"]: r["c"]
+            for r in prefix_sum(df, ["k"], "v").select(
+                "k", F.col("c").cast("bigint").alias("c")
+            ).collect()
+        }
+        expect, run = {}, 0
+        for k, v in sorted(rows):
+            run += v
+            expect[k] = run
+        assert out == expect
+
+    def test_keeps_other_columns_and_row_count(self, spark):
+        from bend_archiver_spark.operators.prefix import prefix_sum
+
+        df = spark.createDataFrame(
+            [(2, 10, "b"), (1, 5, "a"), (3, 1, "c")], ["k", "v", "tag"]
+        )
+        got = sorted(
+            (r["k"], int(r["c"]), r["tag"])
+            for r in prefix_sum(df, ["k"], "v").collect()
+        )
+        assert got == [(1, 5, "a"), (2, 15, "b"), (3, 16, "c")]
