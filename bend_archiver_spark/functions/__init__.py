@@ -9,6 +9,16 @@ these exist to prove the extension points work end-to-end with
 Arrow-batched transfer where available.
 """
 
-from .udxf import TokenizeUDTF, register_udtfs, weighted_avg_quantized
+from .udxf import (
+    TokenizeUDTF,
+    minmax_norm_pdf,
+    register_udtfs,
+    weighted_avg_quantized,
+)
 
-__all__ = ["TokenizeUDTF", "register_udtfs", "weighted_avg_quantized"]
+__all__ = [
+    "TokenizeUDTF",
+    "minmax_norm_pdf",
+    "register_udtfs",
+    "weighted_avg_quantized",
+]

@@ -22,6 +22,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import DoubleType
 
 
 @udtf(returnType="token: string, pos: int")
@@ -48,7 +49,28 @@ def register_udtfs(spark: SparkSession) -> None:
     spark.udtf.register("tokenize_udtf", TokenizeUDTF)
 
 
-@pandas_udf("double")
+def minmax_norm_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map (applyInPandas) kernel: min-max normalize
+    ``n_chars`` within one group. Integer min/max and subtraction are
+    exact; the single double division matches SQL's
+    ``CAST(n - mn AS DOUBLE) / (mx - mn)`` bit-for-bit. Degenerate
+    groups (mx == mn) normalize to 0.0 like the oracle's CASE."""
+    mn = int(pdf["n_chars"].min())
+    mx = int(pdf["n_chars"].max())
+    if mx > mn:
+        norm = (pdf["n_chars"] - mn).astype("float64") / float(mx - mn)
+    else:
+        norm = pd.Series(0.0, index=pdf.index)
+    return pd.DataFrame(
+        {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "norm_chars": norm}
+    )
+
+
+# return type as a DataType object, NOT a DDL string: executors
+# re-import this module to unpickle the grouped-map kernel below, and
+# parsing a DDL string at import time requires an active session the
+# worker doesn't have
+@pandas_udf(DoubleType())
 def weighted_avg_quantized(w: pd.Series, x: pd.Series) -> float:
     """Grouped-agg pandas UDF: sum(w*x)/sum(w) with w pre-quantized to
     int64 milli-units and x to micro-units by the caller. int64 sums

@@ -92,3 +92,36 @@ def udaf_weighted_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         weighted_avg_quantized("qi", "di").alias("wavg_discount_micros")
     )
+
+
+@register(
+    "grouped_map_minmax_norm",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN mx > mn
+                THEN CAST(n_chars - mn AS DOUBLE) / (mx - mn)
+                ELSE 0.0 END AS norm_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             MIN(n_chars) OVER (PARTITION BY lang) AS mn,
+             MAX(n_chars) OVER (PARTITION BY lang) AS mx
+      FROM documents
+    ) s
+    """,
+    tags=("udf", "grouped-map"),
+)
+def grouped_map_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language min-max normalization of document length through
+    ``groupBy().applyInPandas`` — the grouped-*map* UDF surface (one
+    pandas frame in, one frame out per group), completing the
+    extension-point set next to mapInPandas, the grouped-agg UDAF,
+    the UDTF, and applyInPandasWithState. Integer min/max plus one
+    double division keeps it bit-identical to the window-function
+    oracle; each group streams to Python as Arrow batches, so the
+    shuffle is the same one the SQL window would need."""
+    from ..functions import minmax_norm_pdf
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return d.groupBy("lang").applyInPandas(
+        minmax_norm_pdf, "doc_id bigint, lang string, norm_chars double"
+    )

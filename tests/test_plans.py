@@ -69,6 +69,7 @@ class TestNoPythonInHotPath:
         "multimodal_decode_stub",
         "udtf_token_stats",
         "udaf_weighted_discount",
+        "grouped_map_minmax_norm",
     }
 
     def test_only_declared_queries_use_python(self, spark, sf_dir):
