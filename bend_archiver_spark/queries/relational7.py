@@ -203,3 +203,76 @@ def diagnose_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "o_custkey")
         .limit(10)
     )
+
+
+@register(
+    "map_funcs_events",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(len(json_keys(props)) + 1 AS BIGINT) AS n_after_concat
+    FROM events
+    """,
+    tags=("relational", "map"),
+)
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props column into a real
+    ``map<string,bigint>`` (`from_json`), then read it back through
+    map functions — ``size``, ``element_at``, and construction via
+    ``create_map``/``map_concat`` (the concat adds a key absent from
+    the data, so its size is provably keys+1). The oracle sees only
+    scalar derivations because map *columns* don't cross the pandas
+    comparison boundary portably; the map machinery itself is what's
+    under test."""
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    mm = F.map_concat(m, F.create_map(F.lit("extra"), F.lit(1).cast("bigint")))
+    return ev.select(
+        "event_id",
+        F.size(m).cast("bigint").alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(mm).cast("bigint").alias("n_after_concat"),
+    )
+
+
+@register(
+    "setops_all_lineitem",
+    oracle="""
+    WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_quantity < 10),
+         b AS (SELECT l_returnflag FROM lineitem WHERE l_discount > 0.08),
+         ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+         ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    SELECT 'except_all' AS op, l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ea GROUP BY 2
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ia GROUP BY 2
+    """,
+    tags=("relational", "setops"),
+)
+def setops_all_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (`exceptAll` / `intersectAll`) — the
+    duplicate-preserving variants the earlier set-op queries don't
+    touch. Spark plans both as an aggregate of signed counts rather
+    than a join per duplicate, which is exactly the 100 TB-safe
+    strategy; the aggregated output keeps the oracle comparison
+    order-free."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 10).select("l_returnflag")
+    b = li.filter(F.col("l_discount") > 0.08).select("l_returnflag")
+    ea = (
+        a.exceptAll(b)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "l_returnflag", "n")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "l_returnflag", "n")
+    )
+    return ea.unionByName(ia)
