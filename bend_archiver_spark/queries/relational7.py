@@ -276,3 +276,67 @@ def setops_all_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("op"), "l_returnflag", "n")
     )
     return ea.unionByName(ia)
+
+
+@register(
+    "timeseries_moving_avg",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6))
+               AS total_value
+      FROM events GROUP BY 1
+    ),
+    dense AS (
+      SELECT s.day,
+             COALESCE(d.total_value, CAST(0 AS DECIMAL(38,6))) AS total_value
+      FROM spine s LEFT JOIN daily d ON s.day = d.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(total_value) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS ma7
+    FROM dense
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("timeseries", "window"),
+)
+def timeseries_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily event value over the *gap-filled*
+    series — the composition the date spine exists for: a missing day
+    contributes zero to the numerator and one to the denominator,
+    which a moving average over the sparse table silently gets wrong.
+    The global window here is safe at any data scale because its
+    input is already one row per calendar day (the heavy lifting —
+    the daily groupBy — happened before the window); sums stay
+    decimal through the frame, with one double division at the end."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value")
+    )
+    dense = spine.join(F.broadcast(daily), "day", "left").select(
+        "day",
+        F.coalesce(
+            "total_value", F.lit(0).cast("decimal(38,6)")
+        ).alias("total_value"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return dense.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (
+            F.sum("total_value").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma7"),
+    )
