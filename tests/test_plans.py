@@ -61,6 +61,28 @@ class TestTopK:
         assert "Exchange rangepartitioning" not in plan
 
 
+class TestNewOperatorPlans:
+    def test_skew_probe_uses_topk_and_broadcast_total(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "diagnose_key_skew")
+        assert "TakeOrderedAndProject" in plan  # no global sort
+        assert "BroadcastExchange" in plan  # scalar total broadcasts
+
+    def test_range_window_single_exchange(self, spark, sf_dir):
+        """One hash exchange on the window partition key; the RANGE
+        frame plans natively (no self-join fallback)."""
+        plan = plan_of(spark, sf_dir, "window_range_sliding_revenue")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "RangeFrame" in plan
+        assert "Join" not in plan
+
+    def test_multiset_ops_plan_as_signed_counts(self, spark, sf_dir):
+        """exceptAll/intersectAll compile to aggregates of signed
+        counts, not a join per duplicate row."""
+        plan = plan_of(spark, sf_dir, "setops_all_lineitem")
+        assert "SortMergeJoin" not in plan
+        assert "vcol" in plan  # the signed-count rewrite's column
+
+
 class TestNoPythonInHotPath:
     # the only queries allowed to evaluate Python: the Arrow-batched
     # multimodal decode pipeline and the two deliberate UDxF-surface
