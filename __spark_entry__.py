@@ -20,6 +20,40 @@ from bend_archiver_spark.queries import REGISTRY
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
+# Queries with a driver-green CORRECTNESS_r01 row. The round-1 driver
+# checked exactly the first 50 registry entries in emission order, so
+# emission is ordered never-checked-first: anything without a green
+# row (including queries added later) goes to the front of the dict.
+_GREEN_R01 = frozenset({
+    "scan_predicate", "agg_count_filtered", "agg_minmax_key",
+    "agg_minmax_time", "split_key_buckets", "split_time_buckets",
+    "rollup_tables_count", "adaptive_batch_plan", "verify_archive_counts",
+    "tpch_q1", "tpch_q3_topk", "tpch_q5_region_revenue", "tpch_q6_revenue",
+    "window_top_orders_per_customer", "window_running_revenue",
+    "sort_limit_topk_orders", "setops_repeat_customers",
+    "setops_except_customers", "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders", "join_outer_order_fill_rate",
+    "string_funcs_parts", "datetime_funcs_orders", "json_funcs_events",
+    "rollup_lineitem_status", "pivot_status_by_segment",
+    "distinct_flag_status", "asof_join_purchase_session",
+    "array_funcs_embeddings", "math_funcs_orders", "tpch_q4_order_priority",
+    "tpch_q10_returned_topk", "tpch_q12_priority_class",
+    "tpch_q14_promo_ratio", "tpch_q16_part_suppliers",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive", "cube_flag_status",
+    "grouping_sets_orders", "window_lag_lead_orders", "agg_stats_manual",
+    "subquery_scalar_above_avg", "range_join_value_buckets",
+    "conditional_funcs_customers", "join_salted_skew",
+    "agg_percentiles_orders", "agg_argmax_orders", "tpch_q7_nation_trade",
+})
+
+
+def _ordered_names() -> list[str]:
+    names = list(REGISTRY.keys())
+    return (
+        [n for n in names if n not in _GREEN_R01]
+        + [n for n in names if n in _GREEN_R01]
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: TPC-H Q1 pricing summary on sf0.001."""
@@ -27,12 +61,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle
-        for name, spec in REGISTRY.items()
-        if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }
