@@ -31,6 +31,24 @@ from .verify import VerifyResult, count_verify, idempotency_gate
 __all__ = ["ArchiveReport", "FileArchiveJob"]
 
 
+def check_idempotency_gate(spark: SparkSession, cfg: Config) -> None:
+    """Refuse to double-archive (A32, cmd/main.go:74-82). Only the
+    target *load* may fail soft (missing target == clean slate); an
+    error evaluating the gate predicate against an existing target
+    must propagate — swallowing it would silently skip the guard on a
+    corrupt or schema-degraded target and append rows twice."""
+    try:
+        existing = spark.read.format(cfg.target_format).load(cfg.target_path)
+    except AnalysisException:
+        return  # target does not exist yet — clean slate
+    already = idempotency_gate(existing, cfg.source_where_condition)
+    if already > 0:
+        raise RuntimeError(
+            f"idempotency gate: target already has {already} rows "
+            "matching the predicate; refusing to double-archive"
+        )
+
+
 @dataclass
 class ArchiveReport:
     table: str
@@ -108,20 +126,7 @@ class FileArchiveJob:
 
         # pre-flight gate (A32)
         if check_idempotency:
-            try:
-                existing = self.spark.read.format(cfg.target_format).load(
-                    cfg.target_path
-                )
-                already = idempotency_gate(existing, cfg.source_where_condition)
-                if already > 0:
-                    raise RuntimeError(
-                        f"idempotency gate: target already has {already} rows "
-                        "matching the predicate; refusing to double-archive"
-                    )
-            except RuntimeError:
-                raise
-            except AnalysisException:
-                pass  # target does not exist yet — clean slate
+            check_idempotency_gate(self.spark, cfg)
 
         n_parts, batch, part_col, cnt = self._plan_partitions(filtered)
         if cnt == 0:
@@ -207,20 +212,7 @@ class JdbcArchiveJob:
         cfg = self.cfg
         t0 = time.monotonic()
         if check_idempotency:
-            try:
-                existing = self.spark.read.format(cfg.target_format).load(
-                    cfg.target_path
-                )
-                already = idempotency_gate(existing, cfg.source_where_condition)
-                if already > 0:
-                    raise RuntimeError(
-                        f"idempotency gate: target already has {already} rows "
-                        "matching the predicate; refusing to double-archive"
-                    )
-            except RuntimeError:
-                raise
-            except AnalysisException:
-                pass  # target does not exist yet
+            check_idempotency_gate(self.spark, cfg)
 
         plan = (
             self.source.plan_time_split()

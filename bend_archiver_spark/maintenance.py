@@ -66,6 +66,18 @@ def compact_files(
     sort) so key-range scans keep row-group pruning; without it the
     rewrite is a plain bin-pack (round-robin repartition — no skew by
     construction).
+
+    Crash safety: the swap is two directory renames, which POSIX does
+    not make atomic as a pair — no row is ever lost, but a crash
+    between them leaves the live path absent with the full data
+    retained at ``<path>__old`` (recovery: ``mv <path>__old <path>``).
+    The retained copy is deleted only after the NEW live path has been
+    re-verified to carry every row; a failed re-verification swaps the
+    original back and raises. Readers concurrent with the swap can see
+    a missing directory for the instant between the renames — schedule
+    compaction in a maintenance window (at 100 TB scale, a table
+    format with an atomic metadata pointer — e.g. Delta/Iceberg — is
+    the proper fix; this operator targets plain parquet directories).
     """
     files_before, bytes_before = dir_stats(path)
     df = load_parquet(spark, path)
@@ -91,6 +103,16 @@ def compact_files(
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
+    # retain the original until the new live path re-verifies — only
+    # then is it safe to drop the recovery copy
+    live_rows = spark.read.parquet(path).count()
+    if live_rows != rows:
+        os.rename(path, tmp)
+        os.rename(old, path)
+        raise RuntimeError(
+            f"compaction live-path mismatch after swap: {rows} expected, "
+            f"{live_rows} read back; original restored"
+        )
     shutil.rmtree(old, ignore_errors=True)
 
     files_after, _ = dir_stats(path)

@@ -41,8 +41,17 @@ def prefix_sum(
     key for the order — and therefore the result — to be
     deterministic). The sum is carried in ``precision`` decimals;
     cast downstream if a narrower type is wanted."""
-    ranged = df.repartitionByRange(*order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # Both the local-cumsum branch and the offsets branch below read
+    # this frame; ``_pid`` must be IDENTICAL in both. localCheckpoint
+    # materializes the range exchange once, so the two consumers can
+    # never re-sample range boundaries independently (exchange reuse
+    # is an optimizer courtesy, not a guarantee — without this, plan
+    # divergence could land boundary rows in different partitions per
+    # branch and mis-join the offsets).
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_in = (
         Window.partitionBy("_pid")

@@ -150,14 +150,18 @@ def parse_time_dynamic(time_str: str) -> datetime:
 
     Accepted layouts: ``YYYY-MM-DD H:M:S`` (single-digit fields ok, as
     Go's flexible parse allows e.g. '2024-06-30 2:00:00'),
-    ``YYYY-MM-DDTH:M:S[.fff]`` and ISO with offset.
+    ``YYYY-MM-DDTH:M:S[.fff]``, ISO with offset, and fractional /
+    date-only forms (a DATE-typed split key stringifies as
+    ``YYYY-MM-DD``).
     """
     fmts = [
         "%Y-%m-%d %H:%M:%S",
+        "%Y-%m-%d %H:%M:%S.%f",
         "%Y-%m-%dT%H:%M:%S.%f",
         "%Y-%m-%dT%H:%M:%S",
         "%Y-%m-%dT%H:%M:%S.%f%z",
         "%Y-%m-%dT%H:%M:%S%z",
+        "%Y-%m-%d",
     ]
     last_err: Exception | None = None
     for fmt in fmts:

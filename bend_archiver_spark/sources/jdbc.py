@@ -24,12 +24,34 @@ from pyspark.sql import DataFrame, SparkSession
 from ..config import Config
 from ..planner import (
     coerce_key,
+    parse_time_dynamic,
     plan_jdbc_partitions,
     split_time_windows,
 )
 from .dialects import Dialect, get_dialect
 
 __all__ = ["JdbcSource", "JdbcReadPlan"]
+
+
+def _floor_bound(v: object) -> str:
+    """Lower split bound at whole-second precision (truncation only
+    widens the window downward — safe)."""
+    return str(v)[:19].replace("T", " ")
+
+
+def _ceil_bound(v: object) -> str:
+    """Upper split bound: whole seconds, rounded UP when the probed
+    max has sub-second precision. Plain truncation would make the
+    final inclusive window ``key <= max-truncated-to-seconds`` and
+    silently exclude rows past it — including the max row itself."""
+    from datetime import timedelta
+
+    s = str(v).replace("T", " ")
+    head, dot, frac = s.partition(".")
+    if dot and any(c != "0" for c in frac):
+        t = parse_time_dynamic(head[:19] if len(head) >= 19 else head)
+        return (t + timedelta(seconds=1)).strftime("%Y-%m-%d %H:%M:%S")
+    return head[:19]
 
 
 @dataclass
@@ -143,8 +165,8 @@ class JdbcSource:
             windows = split_time_windows(
                 self.cfg.source_split_time_key,
                 self.cfg.time_split_unit,
-                str(lo)[:19].replace("T", " "),
-                str(hi)[:19].replace("T", " "),
+                _floor_bound(lo),
+                _ceil_bound(hi),
             )
             where = self.cfg.source_where_condition
             predicates = (

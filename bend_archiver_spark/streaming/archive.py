@@ -71,16 +71,25 @@ def incremental_archive(
     target_format: str = "parquet",
     transform: Callable[[DataFrame], DataFrame] | None = None,
     trigger_once: bool = True,
+    foreach_batch: Callable[[DataFrame, int], None] | None = None,
 ) -> StreamingQuery:
     """Continuously archive files landing under ``source_path`` into
-    ``target_path`` via ``foreachBatch`` (so the batch sink/verify code
-    is reused per micro-batch). ``trigger_once`` processes the backlog
-    and stops — the cron-style incremental archive; set False for an
-    always-on stream.
+    ``target_path``. ``trigger_once`` processes the backlog and stops —
+    the cron-style incremental archive; set False for an always-on
+    stream.
 
-    Exactly-once: the checkpoint tracks processed files; re-running
-    after failure re-emits nothing (the streaming analog of the
-    reference's idempotency gate, cmd/main.go:74-82).
+    Exactly-once: the default path writes through the **native file
+    sink**, whose ``_spark_metadata`` transaction log commits each
+    batch's files atomically with the checkpoint — a crash between
+    write and checkpoint commit replays the batch id and the sink
+    log deduplicates it (the streaming analog of the reference's
+    idempotency gate, cmd/main.go:74-82).
+
+    ``foreach_batch`` opts into a custom per-batch writer (e.g. to
+    reuse the batch sink/verify code). That path is **at-least-once**
+    unless the callable is idempotent per ``batch_id`` — a restart
+    after a batch write but before the checkpoint commit re-runs the
+    same batch id; blind appends would duplicate it.
     """
     reader = (
         spark.readStream.format(source_format)
@@ -90,13 +99,17 @@ def incremental_archive(
     if transform is not None:
         reader = transform(reader)
 
-    def write_batch_fn(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").format(target_format).save(target_path)
-
-    writer = (
-        reader.writeStream.foreachBatch(write_batch_fn)
-        .option("checkpointLocation", checkpoint_path)
-    )
+    if foreach_batch is not None:
+        writer = (
+            reader.writeStream.foreachBatch(foreach_batch)
+            .option("checkpointLocation", checkpoint_path)
+        )
+    else:
+        writer = (
+            reader.writeStream.format(target_format)
+            .option("path", target_path)
+            .option("checkpointLocation", checkpoint_path)
+        )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -46,6 +46,22 @@ class TestFileArchiveJob:
             FileArchiveJob(spark, _cfg(tgt), li).run()
         shutil.rmtree(tgt, ignore_errors=True)
 
+    def test_gate_error_on_existing_target_propagates(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A target that EXISTS but can't evaluate the gate predicate
+        (e.g. schema-degraded: the predicate column is missing) must
+        raise, not silently pass the double-archive guard."""
+        from pyspark.errors import AnalysisException
+
+        tgt = str(tmp_path / "t2b")
+        li = load_table(spark, sf_dir, "lineitem")
+        # target exists, but without the l_quantity column
+        li.select("l_orderkey").limit(5).write.parquet(tgt)
+        with pytest.raises(AnalysisException):
+            FileArchiveJob(spark, _cfg(tgt), li).run()
+        shutil.rmtree(tgt, ignore_errors=True)
+
     def test_empty_source_short_circuit(self, spark, sf_dir, tmp_path):
         tgt = str(tmp_path / "t3")
         li = load_table(spark, sf_dir, "lineitem")

@@ -152,9 +152,40 @@ class TestParseTimeDynamic:
         assert parse_time_dynamic("2024-06-30T15:04:05").minute == 4
         assert parse_time_dynamic("2024-06-30T15:04:05.123").microsecond == 123000
 
+    def test_date_only_layout(self):
+        # a DATE-typed split key stringifies as YYYY-MM-DD
+        t = parse_time_dynamic("2024-06-30")
+        assert (t.year, t.month, t.day, t.hour) == (2024, 6, 30, 0)
+
     def test_invalid(self):
         with pytest.raises(ValueError):
             parse_time_dynamic("30/06/2024")
+
+
+class TestTimeSplitBounds:
+    """Probed JDBC time bounds -> window bound strings: the upper
+    bound must never truncate away sub-second rows."""
+
+    def test_ceil_rounds_up_fractional_max(self):
+        from datetime import datetime
+
+        from bend_archiver_spark.sources.jdbc import _ceil_bound
+
+        assert (
+            _ceil_bound(datetime(2024, 6, 30, 23, 59, 59, 500000))
+            == "2024-07-01 00:00:00"
+        )
+        assert _ceil_bound("2024-06-30 10:00:00.000001") == "2024-06-30 10:00:01"
+
+    def test_ceil_keeps_whole_seconds_and_dates(self):
+        from datetime import date, datetime
+
+        from bend_archiver_spark.sources.jdbc import _ceil_bound, _floor_bound
+
+        assert _ceil_bound(datetime(2024, 6, 30, 10, 0, 0)) == "2024-06-30 10:00:00"
+        assert _ceil_bound("2024-06-30 10:00:00.000") == "2024-06-30 10:00:00"
+        assert _ceil_bound(date(2024, 6, 30)) == "2024-06-30"
+        assert _floor_bound(datetime(2024, 6, 30, 10, 0, 0, 700000)) == "2024-06-30 10:00:00"
 
 
 class TestCoerceKey:
