@@ -47,7 +47,11 @@ class Dialect:
 
     def qualified(self, db: str, table: str) -> str:
         """db-qualified table reference; SQL Server uses
-        db.schema.table where `table` may already carry the schema."""
+        db.schema.table where `table` may already carry the schema.
+        Derby's "database" is the connection path, not a name
+        qualifier — only the (optionally schema-qualified) table."""
+        if self.name == "derby":
+            db = ""
         parts = [p for p in (db, table) if p]
         return ".".join(
             ".".join(self.quote(seg) for seg in p.split(".")) for p in parts
@@ -85,6 +89,11 @@ class Dialect:
             return url + ";encrypt=false"
         if self.name == "oracle":
             return f"jdbc:oracle:thin:@{host}:{port}:{oracle_sid or database}"
+        if self.name == "derby":
+            # embedded engine: `database` is a filesystem path inside
+            # the JVM — no host/port. Ships with Spark, which makes it
+            # the live-database end-to-end test bed (tests/test_jdbc_e2e.py).
+            return f"jdbc:derby:{database};create=true"
         raise ValueError(f"unknown dialect {self.name}")
 
     # --- probe queries (A10-A12) -------------------------------------
@@ -142,6 +151,8 @@ class Dialect:
             )
         if self.name == "oracle":
             return "SELECT username AS name FROM all_users"
+        if self.name == "derby":
+            return "SELECT schemaname AS name FROM sys.sysschemas"
         raise ValueError(self.name)
 
     def list_tables_sql(self, database: str) -> str:
@@ -166,6 +177,11 @@ class Dialect:
             return (
                 f"SELECT table_name AS name FROM all_tables "
                 f"WHERE owner = '{database.upper()}'"
+            )
+        if self.name == "derby":
+            return (
+                "SELECT t.tablename AS name FROM sys.systables t "
+                "WHERE t.tabletype = 'T'"
             )
         raise ValueError(self.name)
 
@@ -196,6 +212,10 @@ DIALECTS: dict[str, Dialect] = {
         table_hint="WITH (NOLOCK)",
     ),
     "oracle": Dialect("oracle", "oracle.jdbc.OracleDriver"),
+    # embedded in-JVM engine bundled with Spark; used for live JDBC
+    # end-to-end tests (the reference uses embedded Postgres the same
+    # way, utils/testutils/postgres.go:18-48)
+    "derby": Dialect("derby", "org.apache.derby.jdbc.EmbeddedDriver"),
 }
 
 

@@ -101,7 +101,10 @@ class JdbcSource:
         )
         for k, v in self._base_options().items():
             reader = reader.option(k, v)
-        return reader.load()
+        df = reader.load()
+        # Oracle/Derby fold unquoted aliases to UPPERCASE; normalize so
+        # probe rows are addressable by the alias we wrote (min_key...)
+        return df.toDF(*[c.lower() for c in df.columns])
 
     # --- probes (A10-A12, A18) ---------------------------------------
     def probe_bounds(self) -> tuple[int, int, int]:

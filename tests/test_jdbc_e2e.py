@@ -1,0 +1,161 @@
+"""Live-database end-to-end tests for JdbcArchiveJob.
+
+The reference proves its archive protocol against real databases with
+a NULL-pattern fixture — odd ids carry NULL int/varchar/timestamp —
+and a delete-after-sync round trip (cmd/main_test.go:97-144, :488-509,
+embedded Postgres in utils/testutils/postgres.go:18-48). This is the
+same evidence over embedded Derby, which ships inside Spark's JVM: a
+real JDBC source, real partitioned predicate reads, real deletes — no
+network, no mocks.
+"""
+
+import shutil
+
+import pytest
+
+from bend_archiver_spark.config import Config
+from bend_archiver_spark.job import JdbcArchiveJob
+
+N_ROWS = 200
+
+
+@pytest.fixture()
+def derby(spark, tmp_path):
+    """A fresh embedded-Derby database seeded with the NULL-pattern
+    fixture: ids 1..200; odd ids have NULL V/NAME/TS (the reference's
+    odd-ids-NULL fixture, cmd/main_test.go:488-509); TS carries
+    sub-second precision so bound truncation bugs can't hide."""
+    db_path = str(tmp_path / "derbydb")
+    jvm = spark._sc._jvm  # noqa: SLF001 - raw JDBC seeding
+    conn = jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{db_path};create=true"
+    )
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE TESTTAB (ID BIGINT NOT NULL PRIMARY KEY, "
+        "V INT, NAME VARCHAR(64), TS TIMESTAMP)"
+    )
+    ps = conn.prepareStatement("INSERT INTO TESTTAB VALUES (?, ?, ?, ?)")
+    types = jvm.java.sql.Types
+    for i in range(1, N_ROWS + 1):
+        ps.setLong(1, i)
+        if i % 2 == 1:
+            ps.setNull(2, types.INTEGER)
+            ps.setNull(3, types.VARCHAR)
+            ps.setNull(4, types.TIMESTAMP)
+        else:
+            ps.setInt(2, i * 10)
+            ps.setString(3, f"name_{i}")
+            ps.setTimestamp(
+                4,
+                jvm.java.sql.Timestamp.valueOf(
+                    f"2024-06-30 10:00:{i % 60:02d}.1235"
+                ),
+            )
+        ps.addBatch()
+    ps.executeBatch()
+    conn.close()
+    yield db_path
+    try:
+        jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{db_path};shutdown=true"
+        )
+    except Exception:
+        pass  # Derby signals successful shutdown via SQLException
+
+
+def _cfg(db_path, target, **kw):
+    base = dict(
+        database_type="derby",
+        source_db=db_path,
+        source_table="TESTTAB",
+        source_split_key="ID",
+        batch_size=50,
+        target_path=target,
+        target_format="parquet",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+class TestJdbcArchiveE2E:
+    def test_key_split_null_pattern_round_trip(self, spark, derby, tmp_path):
+        tgt = str(tmp_path / "tgt_key")
+        report = JdbcArchiveJob(spark, _cfg(derby, tgt)).run()
+        assert report.verify.is_correct
+        assert report.source_rows == N_ROWS
+        # batch 50 over ids 1..200 -> multiple real predicate partitions
+        assert report.num_partitions >= 4
+
+        back = spark.read.parquet(tgt)
+        assert back.count() == N_ROWS
+        # NULL pattern survives the wire: odd ids all-NULL, even ids populated
+        assert back.filter(
+            "ID % 2 = 1 AND (V IS NOT NULL OR NAME IS NOT NULL "
+            "OR TS IS NOT NULL)"
+        ).count() == 0
+        assert back.filter(
+            "ID % 2 = 0 AND (V IS NULL OR NAME IS NULL OR TS IS NULL)"
+        ).count() == 0
+        # values, not just nullness
+        row = back.filter("ID = 42").first()
+        assert row.V == 420 and row.NAME == "name_42"
+        assert row.TS.microsecond == 123500  # sub-second precision kept
+        shutil.rmtree(tgt, ignore_errors=True)
+
+    def test_time_split_includes_subsecond_max_row(
+        self, spark, derby, tmp_path
+    ):
+        """The probed max TS is ...58.1235; a truncated upper bound
+        would silently drop it and fail verification (the bug the
+        ceil fix closes)."""
+        tgt = str(tmp_path / "tgt_time")
+        cfg = _cfg(
+            derby,
+            tgt,
+            source_split_key="",
+            source_split_time_key="TS",
+            source_where_condition="TS IS NOT NULL",
+            time_split_unit="minute",
+        )
+        report = JdbcArchiveJob(spark, cfg).run()
+        assert report.verify.is_correct
+        assert report.source_rows == N_ROWS // 2
+        back = spark.read.parquet(tgt)
+        assert back.count() == N_ROWS // 2
+        # the max row itself made it across
+        assert back.filter("TS = timestamp'2024-06-30 10:00:58.1235'").count() > 0
+        shutil.rmtree(tgt, ignore_errors=True)
+
+    def test_delete_after_sync_empties_source(self, spark, derby, tmp_path):
+        tgt = str(tmp_path / "tgt_del")
+        cfg = _cfg(derby, tgt, delete_after_sync=True)
+        report = JdbcArchiveJob(spark, cfg).run()
+        assert report.verify.is_correct
+        assert report.deleted_rows == N_ROWS
+        # the source table is empty after the verified delete
+        left = (
+            spark.read.format("jdbc")
+            .option("url", f"jdbc:derby:{derby};create=true")
+            .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+            .option("query", "SELECT COUNT(*) AS cnt FROM TESTTAB")
+            .load()
+            .first()["CNT"]  # Derby folds unquoted aliases to uppercase
+        )
+        assert int(left) == 0
+        shutil.rmtree(tgt, ignore_errors=True)
+
+    def test_catalog_discovery_sees_fixture_table(self, spark, derby):
+        from bend_archiver_spark.sources.dialects import get_dialect
+
+        dialect = get_dialect("derby")
+        names = [
+            r["NAME"]
+            for r in spark.read.format("jdbc")
+            .option("url", dialect.jdbc_url("", 0, derby))
+            .option("driver", dialect.driver)
+            .option("query", dialect.list_tables_sql(""))
+            .load()
+            .collect()
+        ]
+        assert "TESTTAB" in names
