@@ -86,6 +86,11 @@ class Config:
     # scale this is what makes later reads partition-prunable
     target_partition_by: list[str] = field(default_factory=list)
     strict_reference_semantics: bool = False
+    # checksum upgrade: also compare order-insensitive content
+    # fingerprints source-vs-target (verify.content_fingerprint) —
+    # catches value corruption counts can't; costs one extra scan of
+    # each side, so opt-in
+    verify_fingerprint: bool = False
     # degrade output to the reference's wire shape (bool->tinyint,
     # temporal->string, decimal->double); see sources/typemap.py
     reference_compat: bool = False
@@ -117,6 +122,7 @@ class Config:
         "disableVariantCheck": "disable_variant_check",
         "userStage": "user_stage",
         "deleteAfterSync": "delete_after_sync",
+        "verifyFingerprint": "verify_fingerprint",
         "maxThread": "max_thread",
         "oracleSID": "oracle_sid",
         "targetPath": "target_path",

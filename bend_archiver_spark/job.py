@@ -170,14 +170,23 @@ class FileArchiveJob:
         # types may not accept the source predicate — fall back to full
         # count
         try:
-            tgt_rows = (
-                target.filter(cfg.source_where_condition).count()
+            tgt_scoped = (
+                target.filter(cfg.source_where_condition)
                 if cfg.source_where_condition
-                else target.count()
+                else target
             )
+            tgt_rows = tgt_scoped.count()
         except AnalysisException:
+            tgt_scoped = target
             tgt_rows = target.count()
         verify = VerifyResult(src_rows, tgt_rows)
+        if cfg.verify_fingerprint:
+            from .verify import content_fingerprint
+
+            verify.source_fingerprint = content_fingerprint(extracted)
+            verify.target_fingerprint = content_fingerprint(
+                tgt_scoped.select(*extracted.columns)
+            )
         elapsed = time.monotonic() - t0
         return ArchiveReport(
             table=cfg.source_table,
@@ -235,12 +244,22 @@ class JdbcArchiveJob:
 
         source_rows = self.source.count()
         target = self.spark.read.format(cfg.target_format).load(cfg.target_path)
-        tgt_rows = (
-            target.filter(cfg.source_where_condition).count()
+        tgt_scoped = (
+            target.filter(cfg.source_where_condition)
             if cfg.source_where_condition
-            else target.count()
+            else target
         )
+        tgt_rows = tgt_scoped.count()
         verify = VerifyResult(source_rows, tgt_rows)
+        if cfg.verify_fingerprint:
+            # checksum upgrade: one extra scan of each side (the
+            # source side re-reads over JDBC — opt-in for that reason)
+            from .verify import content_fingerprint
+
+            verify.source_fingerprint = content_fingerprint(df)
+            verify.target_fingerprint = content_fingerprint(
+                tgt_scoped.select(*df.columns)
+            )
 
         deleted = 0
         if cfg.delete_after_sync and verify.is_correct:

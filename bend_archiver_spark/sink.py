@@ -25,7 +25,14 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_batch", "write_jdbc", "copy_into_sql", "SinkResult", "NDJSON_TS_FMT"]
+__all__ = [
+    "write_batch",
+    "write_jdbc",
+    "copy_into_sql",
+    "execute_copy_into",
+    "SinkResult",
+    "NDJSON_TS_FMT",
+]
 
 # micro-precision timestamps: the default JSON format is milliseconds,
 # which silently truncates micros and breaks round-trip fingerprints
@@ -114,3 +121,29 @@ def copy_into_sql(
         f"FORCE = {str(force).lower()} "
         f"DISABLE_VARIANT_CHECK = {str(disable_variant_check).lower()}"
     )
+
+
+def execute_copy_into(
+    execute,
+    target_table: str,
+    stage_location: str,
+    purge: bool = True,
+    force: bool = False,
+    disable_variant_check: bool = True,
+) -> int:
+    """Run the generated ``COPY INTO`` against a live warehouse.
+    ``execute`` is a statement executor such as
+    :func:`bend_archiver_spark.postsync.jdbc_executor` built over the
+    warehouse's JDBC URL — the same wire path the reference's ingester
+    uses (ingester/ingest_databend.go:182-195). Returns the executor's
+    affected-row count. No warehouse exists in the sandbox, so this is
+    exercised with an injected executor in tests and over JDBC in a
+    real deployment."""
+    sql = copy_into_sql(
+        target_table,
+        stage_location,
+        purge=purge,
+        force=force,
+        disable_variant_check=disable_variant_check,
+    )
+    return execute(sql)

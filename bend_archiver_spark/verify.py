@@ -25,10 +25,22 @@ __all__ = ["VerifyResult", "count_verify", "idempotency_gate", "content_fingerpr
 class VerifyResult:
     source_rows: int
     target_rows: int
+    # optional checksum upgrade (populated when the job runs with
+    # verify_fingerprint): order-insensitive content fingerprints of
+    # the filtered source and target — value corruption shows up even
+    # when cardinality matches
+    source_fingerprint: int | None = None
+    target_fingerprint: int | None = None
+
+    @property
+    def fingerprints_match(self) -> bool:
+        if self.source_fingerprint is None or self.target_fingerprint is None:
+            return True  # not requested — counts are the contract
+        return self.source_fingerprint == self.target_fingerprint
 
     @property
     def is_correct(self) -> bool:
-        return self.source_rows == self.target_rows
+        return self.source_rows == self.target_rows and self.fingerprints_match
 
 
 def count_verify(

@@ -102,30 +102,39 @@ def run(names: list[str] | None = None, sf_dir: str | None = None) -> bool:
     con = duck_con(sf_dir)
     selected = names or list(REGISTRY)
     ok = True
+    import time as _time
+
     for name in selected:
         spec = REGISTRY[name]
+        t0 = _time.monotonic()
         try:
             spark_pdf = spec.spark(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             ok = False
             continue
+        t_spark = _time.monotonic() - t0
         if spec.oracle is None:
-            print(f"rows-only  {name}: {len(spark_pdf)} rows")
+            print(f"rows-only  {name}: {len(spark_pdf)} rows  [spark {t_spark:.1f}s]")
             continue
+        t1 = _time.monotonic()
         try:
             duck_pdf = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             ok = False
             continue
+        t_duck = _time.monotonic() - t1
         res = compare_frames(spark_pdf, duck_pdf)
         status = "OK  " if (res["rows_match"] and res["cols_match"] and res["values_match"]) else "FAIL"
         if status == "FAIL":
             ok = False
             print(f"{status}  {name}: {res}")
         else:
-            print(f"{status}  {name}: {res['rows_spark']} rows")
+            print(
+                f"{status}  {name}: {res['rows_spark']} rows  "
+                f"[spark {t_spark:.1f}s, duck {t_duck:.1f}s]"
+            )
     return ok
 
 

@@ -249,3 +249,20 @@ class TestCopyInto:
         assert "PURGE = true" in sql
         assert "FORCE = false" in sql
         assert "DISABLE_VARIANT_CHECK = true" in sql
+
+    def test_execute_runs_generated_statement(self):
+        from bend_archiver_spark.sink import execute_copy_into
+
+        seen = []
+
+        def fake_executor(sql: str) -> int:
+            seen.append(sql)
+            return 123
+
+        n = execute_copy_into(
+            fake_executor, "db.t", "@~/batch/x.ndjson", force=True
+        )
+        assert n == 123
+        assert seen == [
+            copy_into_sql("db.t", "@~/batch/x.ndjson", force=True)
+        ]

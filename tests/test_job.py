@@ -46,6 +46,27 @@ class TestFileArchiveJob:
             FileArchiveJob(spark, _cfg(tgt), li).run()
         shutil.rmtree(tgt, ignore_errors=True)
 
+    def test_fingerprint_verification(self, spark, sf_dir, tmp_path):
+        """verify_fingerprint upgrades the contract from counts to an
+        order-insensitive content checksum of both sides."""
+        tgt = str(tmp_path / "t1fp")
+        li = load_table(spark, sf_dir, "lineitem")
+        report = FileArchiveJob(
+            spark, _cfg(tgt, verify_fingerprint=True), li
+        ).run()
+        assert report.verify.source_fingerprint is not None
+        assert report.verify.fingerprints_match
+        assert report.verify.is_correct
+        shutil.rmtree(tgt, ignore_errors=True)
+
+    def test_fingerprint_mismatch_fails_verification(self):
+        from bend_archiver_spark.verify import VerifyResult
+
+        v = VerifyResult(10, 10, source_fingerprint=1, target_fingerprint=2)
+        assert not v.fingerprints_match and not v.is_correct
+        # same counts without fingerprints still verify
+        assert VerifyResult(10, 10).is_correct
+
     def test_gate_error_on_existing_target_propagates(
         self, spark, sf_dir, tmp_path
     ):
