@@ -181,26 +181,40 @@ def lsh_table_buckets(
     candidate if it collides in ANY table, so recall at cosine ``c``
     is ``1 - (1 - p^planes)^tables`` with ``p = 1 - acos(c)/pi`` —
     8x6 gives ~99.8% at c=0.9 while keeping random (c~0) collisions
-    ~1/2^6 per table."""
-    entries = []
-    for tbl in range(n_tables):
-        bucket = F.lit(0).cast("long")
-        for b in range(n_planes):
-            g = tbl * n_planes + b
-            signs = F.array(
-                *[F.lit(_hash_sign(g, i)).cast("long") for i in range(dim)]
-            )
-            bucket = bucket + F.when(
-                _dot(F.col("vq"), signs) > 0, F.lit(1 << b).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        entries.append(
-            F.struct(
-                F.lit(tbl).cast("int").alias("tbl"), bucket.alias("bucket")
-            )
-        )
-    return v.select(
-        "vec_id", F.explode(F.array(*entries)).alias("tb")
-    ).select(
+    ~1/2^6 per table.
+
+    The sign matrix is computed JVM-side ONCE (a one-row broadcast,
+    same md5 derivation as :func:`_hash_sign`) and the projections run
+    through higher-order functions — one compiled lambda looped at
+    runtime. Unrolling tables*planes*dim literal sign expressions
+    instead costs seconds of driver-side analysis before the first row
+    moves (measured 11s -> 1s warm at 8x6x64)."""
+    signs_sql = f"""
+      transform(sequence(0, {n_tables * n_planes - 1}), g ->
+        transform(sequence(0, {dim - 1}), i ->
+          CASE WHEN CAST(conv(substring(md5(concat(g, '_', i)), 1, 15), 16, 10)
+                     AS BIGINT) % 2 = 1
+               THEN 1L ELSE -1L END))
+    """
+    signs_df = v.sparkSession.range(1).select(F.expr(signs_sql).alias("_signs"))
+    vv = v.crossJoin(F.broadcast(signs_df)).withColumn(
+        "_dots", F.transform(F.col("_signs"), lambda row: _dot(F.col("vq"), row))
+    )
+    tb = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.struct(
+            t.cast("int").alias("tbl"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc + F.when(
+                    F.element_at(F.col("_dots"), (t * n_planes + b + 1).cast("int")) > 0,
+                    F.pow(F.lit(2.0), b.cast("double")).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ).alias("bucket"),
+        ),
+    )
+    return vv.select("vec_id", F.explode(tb).alias("tb")).select(
         "vec_id",
         F.col("tb.tbl").alias("tbl"),
         F.col("tb.bucket").alias("bucket"),

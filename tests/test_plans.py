@@ -84,10 +84,15 @@ class TestNewOperatorPlans:
 
     def test_embedding_cosine_lsh_no_cartesian(self, spark, sf_dir):
         """The registered cosine-dedup query must gate pairs through
-        LSH bucket equality, never an all-pairs product."""
+        LSH bucket equality, never an all-pairs product. The only
+        allowed nested-loop joins are the ONE-ROW sign-matrix
+        broadcasts (constant-size build side, not a pair product; one
+        per bucket branch of the candidate self-join)."""
         plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
         assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 2
+        # the pair-candidate join itself must be a hash join on buckets
+        assert "hashpartitioning(tbl" in plan or "BroadcastHashJoin" in plan
 
     def test_multiset_ops_plan_as_signed_counts(self, spark, sf_dir):
         """exceptAll/intersectAll compile to aggregates of signed
