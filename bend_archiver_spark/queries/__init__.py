@@ -19,5 +19,6 @@ from . import similarity  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
 from . import udxf  # noqa: F401,E402
+from . import curation  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec"]
