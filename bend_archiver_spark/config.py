@@ -60,6 +60,9 @@ class Config:
     # multi-table selectors, format "dbRegex@tableRegex" ('@' separator
     # because '.' is regex-special; reference source/mysql.go:388)
     source_db_tables: list[str] = field(default_factory=list)
+    # JSON-compat only: the reference always overwrites this with
+    # "select * from db.table" (worker/worker.go:34) — never
+    # user-supplied SQL; our reads derive their own per-partition SQL
     source_query: str = ""
     source_where_condition: str = ""
     source_split_key: str = ""

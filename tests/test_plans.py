@@ -94,6 +94,22 @@ class TestNewOperatorPlans:
         # the pair-candidate join itself must be a hash join on buckets
         assert "hashpartitioning(tbl" in plan or "BroadcastHashJoin" in plan
 
+    def test_contamination_broadcasts_benchmark(self, spark, sf_dir):
+        """The benchmark shingle set must broadcast — a shuffle join
+        would move the whole corpus's shingles for a tiny build side."""
+        plan = plan_of(spark, sf_dir, "text_contamination_check")
+        assert "BroadcastHashJoin" in plan
+
+    def test_stage_funnel_single_scan(self, spark, sf_dir):
+        """All funnel stages come from ONE pass over documents."""
+        plan = plan_of(spark, sf_dir, "pipeline_stage_funnel")
+        assert plan.count("FileScan parquet") == 1
+        assert "partial" in plan  # map-side combine of the counters
+
+    def test_semantic_keep_one_no_cartesian(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "dedup_semantic_keep_one")
+        assert "CartesianProduct" not in plan
+
     def test_multiset_ops_plan_as_signed_counts(self, spark, sf_dir):
         """exceptAll/intersectAll compile to aggregates of signed
         counts, not a join per duplicate row."""
