@@ -145,6 +145,59 @@ class TestJdbcArchiveE2E:
         assert int(left) == 0
         shutil.rmtree(tgt, ignore_errors=True)
 
+    def test_multi_table_discovery_and_rollup(self, spark, derby, tmp_path):
+        """The reference CLI's whole multi-table loop against a LIVE
+        catalog: regex discovery (A15-A17) over Derby's system tables,
+        per-table archive, aggregate count rollup + verification
+        (A13 + A31)."""
+        from bend_archiver_spark.multi import run_multi_table
+        from bend_archiver_spark.sources.dialects import get_dialect
+
+        jvm = spark._sc._jvm  # noqa: SLF001
+        conn = jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{derby};create=true"
+        )
+        st = conn.createStatement()
+        st.execute("CREATE TABLE SIDETAB (ID BIGINT NOT NULL, V INT)")
+        for i in range(1, 81):
+            st.execute(f"INSERT INTO SIDETAB VALUES ({i}, {i * 2})")
+        conn.close()
+
+        dialect = get_dialect("derby")
+        url = dialect.jdbc_url("", 0, derby)
+        props = {"driver": dialect.driver}
+
+        def list_databases():
+            return ["APP"]  # Derby's default schema
+
+        def list_tables(db):
+            return [
+                r["NAME"]
+                for r in spark.read.format("jdbc")
+                .option("url", url)
+                .option("driver", dialect.driver)
+                .option("query", dialect.list_tables_sql(db))
+                .load()
+                .collect()
+            ]
+
+        cfg = _cfg(derby, "", source_table="", source_db="",
+                   source_db_tables=["APP@.*TAB.*"])
+        report = run_multi_table(
+            spark,
+            cfg,
+            list_databases,
+            list_tables,
+            load_source=lambda db, table: spark.read.jdbc(
+                url, table, properties=props
+            ),
+            target_path_for=lambda db, table: str(tmp_path / "multi" / table),
+        )
+        assert len(report.reports) == 2  # TESTTAB + SIDETAB discovered
+        assert report.total_source_rows == N_ROWS + 80
+        assert report.is_correct
+        shutil.rmtree(str(tmp_path / "multi"), ignore_errors=True)
+
     def test_catalog_discovery_sees_fixture_table(self, spark, derby):
         from bend_archiver_spark.sources.dialects import get_dialect
 
