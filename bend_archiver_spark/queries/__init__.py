@@ -11,6 +11,7 @@ from . import relational4  # noqa: F401,E402
 from . import relational5  # noqa: F401,E402
 from . import relational6  # noqa: F401,E402
 from . import relational7  # noqa: F401,E402
+from . import relational8  # noqa: F401,E402
 from . import sessions  # noqa: F401,E402
 from . import text  # noqa: F401,E402
 from . import text2  # noqa: F401,E402
