@@ -17,6 +17,7 @@ from . import text  # noqa: F401,E402
 from . import text2  # noqa: F401,E402
 from . import dedup  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
+from . import embedding  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
 from . import udxf  # noqa: F401,E402

@@ -278,3 +278,78 @@ def pipeline_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_tokens"),
         )
     )
+
+
+_TEMP_MIX_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang),
+mn AS (SELECT MIN(n_docs) AS min_docs FROM counts),
+probs AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(min_docs AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE)) * 1000000)
+              AS BIGINT) AS thresh
+  FROM counts, mn),
+kept AS (
+  SELECT d.lang,
+         CAST(COUNT(*) FILTER (
+           WHERE {hash64_sql("concat('mix_', d.doc_id)")} % 1000000
+                 < p.thresh) AS BIGINT) AS n_kept
+  FROM documents d JOIN probs p ON p.lang = d.lang
+  GROUP BY d.lang)
+SELECT p.lang, p.n_docs, CAST(p.thresh AS DOUBLE) / 1000000 AS keep_prob,
+       k.n_kept
+FROM probs p JOIN kept k ON k.lang = p.lang
+"""
+
+
+@register(
+    "pipeline_temperature_mix",
+    oracle=_TEMP_MIX_ORACLE,
+    tags=("pipeline", "sampling"),
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (alpha = 0.5): each
+    language stratum keeps documents with probability
+    ``sqrt(min_stratum / stratum)``, flattening the size distribution
+    the way multilingual-corpus mixing does (rare strata keep 100%,
+    the dominant stratum is downsampled toward parity). Membership is
+    decided by the portable md5 hash of the doc id against a per-
+    strata integer threshold — fully deterministic, partition-
+    independent, and reproducible on re-runs over grown corpora.
+    ``sqrt`` and division are IEEE correctly-rounded, so the
+    thresholds are bit-identical across engines. The stratum stats
+    are two tiny broadcast joins; the corpus scan stays a single
+    filter pass at any scale."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    mn = counts.agg(F.min("n_docs").alias("min_docs"))
+    probs = counts.join(F.broadcast(mn)).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.sqrt(
+                F.col("min_docs").cast("double") / F.col("n_docs").cast("double")
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("thresh"),
+    )
+    accepted = hash64_expr(F.concat(F.lit("mix_"), F.col("doc_id"))) % 1000000 < F.col("thresh")
+    kept = (
+        d.join(F.broadcast(probs.select("lang", "thresh")), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count_if(accepted).cast("bigint").alias("n_kept"),
+        )
+    )
+    return probs.join(kept, "lang").select(
+        "lang",
+        "n_docs",
+        (F.col("thresh").cast("double") / 1000000).alias("keep_prob"),
+        "n_kept",
+    )

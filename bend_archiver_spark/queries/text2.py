@@ -204,3 +204,53 @@ def text_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.7)
         .select("doc_a", "doc_b", "dot", "norm_a", "norm_b", "cosine")
     )
+
+
+_TOPK_NGRAMS_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS token
+  FROM tok),
+counts AS (
+  SELECT token,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM bg GROUP BY token)
+SELECT token, n_occurrences, n_docs,
+       CAST(row_number() OVER (
+           ORDER BY n_occurrences DESC, token) AS BIGINT) AS rank
+FROM counts
+ORDER BY rank
+LIMIT 20
+"""
+
+
+@register(
+    "text_topk_ngrams",
+    oracle=_TOPK_NGRAMS_ORACLE,
+    tags=("text", "vocabulary"),
+)
+def text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams with occurrence and document
+    frequency — the vocabulary-building pass that seeds BPE/merge-rule
+    training and boilerplate detection. One map-side-combinable
+    groupBy over the exploded n-grams; the global top-k is a
+    TakeOrderedAndProject on (count desc, token), so no full sort
+    materializes. Ties break on the token string: deterministic under
+    any partitioning."""
+    tok = _ngram_tokens(spark, sf_dir, _BIGRAM_EXPR)
+    counts = tok.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    win = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .select("token", "n_occurrences", "n_docs", "rank")
+    )
