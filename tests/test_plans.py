@@ -110,6 +110,41 @@ class TestNewOperatorPlans:
         plan = plan_of(spark, sf_dir, "dedup_semantic_keep_one")
         assert "CartesianProduct" not in plan
 
+    def test_q2_windowed_min_no_self_join(self, spark, sf_dir):
+        """The correlated-min becomes a partition window over the
+        grouped cost relation (one exchange on partkey), never a
+        self-join; dims broadcast; the final order is a top-100 heap."""
+        plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "SortMergeJoin" not in plan  # all joins broadcast
+
+    def test_q20_nested_ins_plan_as_broadcast_semi(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "tpch_q20_excess_suppliers")
+        assert "CartesianProduct" not in plan
+        assert "LeftSemi" in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_kmeans_codebook_broadcasts(self, spark, sf_dir):
+        """The centroid component table must broadcast — shuffling N*dim
+        component rows against an 8-vector codebook is backwards."""
+        plan = plan_of(spark, sf_dir, "embedding_kmeans_assign")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_topk_ngrams_heap_topk(self, spark, sf_dir):
+        """The vocabulary top-20 is a heap top-k over the aggregated
+        counts with map-side combine, not a global sort."""
+        plan = plan_of(spark, sf_dir, "text_topk_ngrams")
+        assert "TakeOrderedAndProject" in plan
+        assert "partial_count" in plan
+
+    def test_int8_quantize_single_scan_no_join(self, spark, sf_dir):
+        """min/max come from the array itself: one scan, no join."""
+        plan = plan_of(spark, sf_dir, "embedding_int8_quantize")
+        assert plan.count("FileScan parquet") == 1
+        assert "Join" not in plan
+
     def test_multiset_ops_plan_as_signed_counts(self, spark, sf_dir):
         """exceptAll/intersectAll compile to aggregates of signed
         counts, not a join per duplicate row."""
