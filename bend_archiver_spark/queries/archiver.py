@@ -268,3 +268,48 @@ def verify_archive_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_rows",
         (F.col("source_rows") == F.col("target_rows")).alias("is_correct"),
     )
+
+
+@register(
+    "events_latest_snapshot",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value, n_events
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("archiver", "snapshot"),
+)
+def events_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key snapshot compaction: collapse the
+    append-only event archive to each user's most recent row (ties on
+    ts break by event_id, so the winner is total-order deterministic).
+    This is the read-side complement of the reference's append-only
+    archive loop — the CDC-style 'current state' view a consumer
+    materializes from it. One hash exchange on the key serves both
+    the row_number and the per-key count."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            "n_events",
+        )
+    )

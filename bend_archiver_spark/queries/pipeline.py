@@ -353,3 +353,42 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("thresh").cast("double") / 1000000).alias("keep_prob"),
         "n_kept",
     )
+
+
+_RESERVOIR_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY {hash64_sql("concat('rsv_', doc_id)")}, doc_id
+         ) AS BIGINT) AS rn
+  FROM documents)
+SELECT source, doc_id, rn FROM ranked WHERE rn <= 5
+"""
+
+
+@register(
+    "pipeline_reservoir_per_source",
+    oracle=_RESERVOIR_ORACLE,
+    tags=("pipeline", "sampling"),
+)
+def pipeline_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample (k=5 per source): rank documents
+    by the portable hash of their id and keep the first five — the
+    deterministic equivalent of per-key reservoir sampling
+    (hash-ordering a uniform-ish permutation), reproducible across
+    runs and unchanged for surviving members when the corpus grows.
+    Complements the fixed-*rate* samplers (pipeline_hash_sample,
+    pipeline_stratified_sample): eval sets want fixed size, not fixed
+    rate. One exchange on the stratum key; the per-group heap keeps
+    memory at O(k)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    rank_key = hash64_expr(F.concat(F.lit("rsv_"), F.col("doc_id")))
+    w = Window.partitionBy("source").orderBy(rank_key, F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "rn")
+    )

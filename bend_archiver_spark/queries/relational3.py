@@ -108,3 +108,43 @@ def agg_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_price_cents"
         ),
     )
+
+@register(
+    "agg_approx_percentile_bounded",
+    # t-digest/GK outputs are engine-specific; the checkable contract
+    # is the exact percentile plus the error bound the sketch must
+    # satisfy (same pattern as agg_approx_distinct_users).
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS exact_p50,
+           quantile_cont(o_totalprice, 0.9) AS exact_p90,
+           TRUE AS approx_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("relational", "agg", "approx", "percentile"),
+)
+def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna) next to the exact
+    percentile — the quantile sketch that replaces the per-group sort
+    at 100 TB (mergeable partial summaries, one pass). The sketch
+    value itself is engine-specific, so the checked output is the
+    exact percentile pair plus the relative-error bound the
+    approximation must satisfy."""
+    o = t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("exact_p90"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("ap50"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 1000)").alias("ap90"),
+    )
+    ok = (
+        F.abs(F.col("ap50") - F.col("exact_p50")) / F.col("exact_p50") < 0.05
+    ) & (
+        F.abs(F.col("ap90") - F.col("exact_p90")) / F.col("exact_p90") < 0.05
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_p50",
+        "exact_p90",
+        ok.alias("approx_within_5pct"),
+    )

@@ -174,3 +174,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash64_expr(norm).alias("content_hash64"),
         hash64_expr(F.substring(norm, 1, 64)).alias("prefix_hash64"),
     )
+
+
+@register(
+    "text_length_histogram",
+    # integer bucket arithmetic (no width_bucket: not portable),
+    # buckets of 50 chars capped at 600+
+    oracle="""
+    SELECT LEAST(n_chars // 50, 12) * 50 AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("text", "profile"),
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width document-length histogram (50-char buckets, capped
+    at 600+) — the length-distribution profile that picks truncation
+    and packing thresholds for a training corpus. Pure integer bucket
+    arithmetic (portable, no float edges), one map-side-combinable
+    groupBy."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.least(F.expr("n_chars div 50"), F.lit(12)) * 50
+    return d.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
