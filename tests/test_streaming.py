@@ -3,6 +3,8 @@
 
 import shutil
 
+from pyspark.sql import functions as F
+
 from bend_archiver_spark.streaming import (
     incremental_archive,
     windowed_event_counts,
@@ -102,4 +104,80 @@ class TestStreamingDedup:
         oracle = dedup_stream(spark.read.parquet(src), ("event_id",))
         assert got.count() == oracle.count() == events.count()
         assert got.select("event_id").distinct().count() == got.count()
+        shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+class TestStreamingJoins:
+    def test_stream_static_enrichment_matches_batch(self, spark, sf_dir, tmp_path):
+        """Enriching a stream with a static dim broadcast-joins each
+        micro-batch; the batch join over the same files is the oracle."""
+        from bend_archiver_spark.streaming import enrich_stream
+
+        events = load_table(spark, sf_dir, "events")
+        dim = events.select("user_id").distinct().withColumn(
+            "user_bucket", (events.user_id % 10).cast("int")
+        )
+        batch = enrich_stream(events, dim, "user_id")
+        src = str(tmp_path / "esrc")
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            enrich_stream(stream, dim, "user_id")
+            .writeStream.format("memory")
+            .queryName("enriched")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM enriched")
+        assert got.count() == batch.count() == events.count()
+        assert (
+            got.filter("user_bucket IS NULL").count()
+            == batch.filter("user_bucket IS NULL").count()
+            == 0
+        )
+        shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+    def test_stream_stream_interval_join_matches_batch(self, spark, sf_dir, tmp_path):
+        """views joined to same-user purchases within 1 hour: the
+        stream-stream interval join emits exactly the batch join's
+        row set (inner joins emit eagerly; watermarks only bound
+        state)."""
+        from bend_archiver_spark.streaming import interval_join
+
+        events = load_table(spark, sf_dir, "events")
+        views = events.filter("event_type = 'view'").select(
+            "user_id", "ts", F.col("event_id").alias("view_id")
+        )
+        buys = events.filter("event_type = 'purchase'").select(
+            "user_id", "ts", F.col("event_id").alias("buy_id")
+        )
+        batch = interval_join(views, buys, "user_id").select(
+            "l.view_id", "r.buy_id"
+        )
+        n_batch = batch.count()
+        assert n_batch > 0  # the fixture must actually exercise the join
+
+        vsrc, bsrc = str(tmp_path / "v"), str(tmp_path / "b")
+        views.write.mode("overwrite").parquet(vsrc)
+        buys.write.mode("overwrite").parquet(bsrc)
+        vs = spark.readStream.schema(views.schema).parquet(vsrc)
+        bs = spark.readStream.schema(buys.schema).parquet(bsrc)
+        q = (
+            interval_join(vs, bs, "user_id")
+            .select("l.view_id", "r.buy_id")
+            .writeStream.format("memory")
+            .queryName("vb_joined")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM vb_joined")
+        assert got.count() == n_batch
+        assert (
+            got.exceptAll(batch).count() == 0
+            and batch.exceptAll(got).count() == 0
+        )
         shutil.rmtree(str(tmp_path), ignore_errors=True)
