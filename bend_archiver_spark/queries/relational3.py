@@ -148,3 +148,111 @@ def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
         "exact_p90",
         ok.alias("approx_within_5pct"),
     )
+
+@register(
+    "agg_corr_manual",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((sxy - sx * sy / n) / (n - 1), 6) AS cov_qty_price,
+           round(((sxy - sx * sy / n) / (n - 1))
+             / (sqrt((sxx - sx * sx / n) / (n - 1))
+                * sqrt((syy - sy * sy / n) / (n - 1))), 9) AS corr_qty_price
+    FROM s
+    """,
+    tags=("relational", "agg", "stats"),
+)
+def agg_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance/correlation via exact decimal moment sums (same
+    portability argument as agg_stats_manual: the built-in corr's
+    single-pass float accumulation is partition-order-dependent).
+    Five combinable sums in one pass. The derived ratios go through a
+    final explicit round (9 dp for the unit-scale corr, 6 dp for cov)
+    because the 7-op float chain can drift by one ulp between
+    engines' expression compilers — far above any ulp, far below any
+    analytical meaning."""
+    li = t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        d(x).alias("sx"),
+        d(y).alias("sy"),
+        d(x * x).alias("sxx"),
+        d(y * y).alias("syy"),
+        d(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    varx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    vary = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(cov, 6).alias("cov_qty_price"),
+        F.round(cov / (F.sqrt(varx) * F.sqrt(vary)), 9).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, sx / n AS mean_v,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS std_v
+      FROM s
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - st.mean_v) / st.std_v, 9) AS zscore
+    FROM events e JOIN stats st ON st.event_type = e.event_type
+    WHERE abs((e.value - st.mean_v) / st.std_v) > 2.5
+    """,
+    tags=("relational", "agg", "stats", "quality"),
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging (|z| > 2.5) — the numeric
+    anomaly filter a curation pipeline runs over telemetry or score
+    columns before training on them. Group stats come from exact
+    decimal moments (broadcast back as a tiny join); the z-score and
+    threshold are fixed-order float ops, bit-stable cross-engine."""
+    ev = t(spark, sf_dir, "events")
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v.cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    stats = s.select(
+        "event_type",
+        (F.col("sx") / F.col("n")).alias("mean_v"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id", "event_type", "value", F.round(z, 9).alias("zscore")
+        )
+    )
