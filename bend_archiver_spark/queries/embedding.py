@@ -183,3 +183,105 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("eq") * F.col("eq")).cast("bigint").alias("sq_err_q"))
     )
+
+
+_N_CELLS = 16  # fixed codebook: vec_id < 16
+_N_PROBE = 2
+_N_QUERIES = 10  # vec_id < 10 is the query set (as in queries/similarity.py)
+_TOP_K = 5
+
+_COSINE_SQL = (
+    "CAST(dot AS DOUBLE)"
+    " / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nc.nrm AS DOUBLE)))"
+)
+
+_IVF_FIXED_ORACLE = f"""
+WITH e AS ({_E_SQL}),
+norms AS (SELECT vec_id, SUM(xq * xq) AS nrm FROM e GROUP BY vec_id),
+cent AS (SELECT vec_id AS cid, i, xq FROM e WHERE vec_id < {_N_CELLS}),
+d2 AS (
+  SELECT v.vec_id, c.cid,
+         SUM((v.xq - c.xq) * (v.xq - c.xq)) AS dist
+  FROM e v JOIN cent c ON c.i = v.i
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d2),
+assigned AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM ranked
+  WHERE vec_id < {_N_QUERIES} AND rn <= {_N_PROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id, SUM(a.xq * b.xq) AS dot
+  FROM cand cd
+  JOIN e a ON a.vec_id = cd.query_id
+  JOIN e b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+  GROUP BY 1, 2),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_COSINE_SQL} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY {_COSINE_SQL} DESC, neighbor_id
+         ) AS rank
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, rank, cosine
+FROM scored WHERE rank <= {_TOP_K}
+"""
+
+
+@register(
+    "ann_ivf_fixed_codebook",
+    oracle=_IVF_FIXED_ORACLE,
+    tags=("embedding", "ann", "ivf"),
+)
+def ann_ivf_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF search path — cell assignment, n_probe cell
+    selection, candidate gather, exact cosine rerank — with a FIXED
+    16-vector codebook (vec_id < 16) instead of a trained one, which
+    makes every stage exact int64 arithmetic and therefore driver-
+    checkable end-to-end (ann_ivf_topk keeps the trained-KMeans
+    variant; its training is the one non-reproducible stage). Plan
+    shape is identical to production IVF: broadcast codebook, one
+    combinable groupBy for assignments, candidates shuffled only on
+    probed cells — never an all-pairs product."""
+    from ..operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = explode_quantized(emb, "vec_id", "embedding")
+    cent = e.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cid"), "i", F.col("xq").alias("cq")
+    )
+    diff = F.col("xq") - F.col("cq")
+    d2 = (
+        e.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    win = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    ranked = d2.withColumn("rn", F.row_number().over(win))
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return cosine_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        F.col("vec_id") < _N_QUERIES,
+        k=_TOP_K,
+        candidates=cand,
+    )

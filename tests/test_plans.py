@@ -145,6 +145,14 @@ class TestNewOperatorPlans:
         assert plan.count("FileScan parquet") == 1
         assert "Join" not in plan
 
+    def test_ivf_fixed_codebook_no_cartesian(self, spark, sf_dir):
+        """IVF candidates come from probed-cell equality joins; the
+        only nested-loop join is the tiny broadcast query side of the
+        rerank (same allowance as the ANN brute-force baseline)."""
+        plan = plan_of(spark, sf_dir, "ann_ivf_fixed_codebook")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # codebook + cell joins
+
     def test_multiset_ops_plan_as_signed_counts(self, spark, sf_dir):
         """exceptAll/intersectAll compile to aggregates of signed
         counts, not a join per duplicate row."""
