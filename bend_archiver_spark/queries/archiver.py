@@ -313,3 +313,58 @@ def events_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+def _morton_sql(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB-side Morton interleave, identical to
+    maintenance.zorder_value (exact integer bit ops both engines)."""
+    terms = []
+    mask = (1 << bits) - 1
+    for b in range(bits):
+        terms.append(f"(((({x}) & {mask}) >> {b}) & 1) << {2 * b}")
+        terms.append(f"(((({y}) & {mask}) >> {b}) & 1) << {2 * b + 1}")
+    return "(" + " + ".join(f"({t})" for t in terms) + ")"
+
+
+@register(
+    "zorder_bucket_stats",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_orderkey, l_partkey,
+             {_morton_sql('l_orderkey', 'l_partkey')} AS zval
+      FROM lineitem)
+    SELECT CAST(zval >> 20 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_ok,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_pk,
+           CAST(MAX(l_partkey) AS BIGINT) AS max_pk
+    FROM z GROUP BY 1
+    """,
+    tags=("archiver", "layout", "zorder"),
+)
+def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) bucket profile of lineitem over
+    (l_orderkey, l_partkey): interleave the low 16 bits of both keys,
+    bucket by the top z-bits, and report each bucket's key envelopes.
+    This is the planning/audit view of the zorder_write layout step
+    (maintenance.py): tight per-bucket min/max on BOTH keys is what
+    lets parquet row-group stats prune scans filtered on either key
+    at 100 TB. Exact integer bit arithmetic in both engines."""
+    from ..maintenance import zorder_value
+
+    li = t(spark, sf_dir, "lineitem")
+    z = zorder_value(F.col("l_orderkey"), F.col("l_partkey"))
+    return (
+        li.withColumn("zval", z)
+        .groupBy(
+            F.shiftright(F.col("zval"), 20).cast("bigint").alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("l_orderkey").cast("bigint").alias("min_ok"),
+            F.max("l_orderkey").cast("bigint").alias("max_ok"),
+            F.min("l_partkey").cast("bigint").alias("min_pk"),
+            F.max("l_partkey").cast("bigint").alias("max_pk"),
+        )
+    )
