@@ -368,3 +368,84 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_partkey").cast("bigint").alias("max_pk"),
         )
     )
+
+
+@register(
+    "verify_quality_constraints",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS fk_violations
+      FROM o LEFT JOIN customer ON c_custkey = o_custkey
+      WHERE c_custkey IS NULL),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS null_keys,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS duplicate_keys,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+               AS nonpositive_prices,
+             CAST(COUNT(*) FILTER (
+               WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+               AS bad_status
+      FROM o)
+    SELECT n_rows, null_keys, duplicate_keys, nonpositive_prices,
+           bad_status, fk_violations,
+           (null_keys = 0 AND duplicate_keys = 0
+            AND nonpositive_prices = 0 AND bad_status = 0
+            AND fk_violations = 0) AS all_pass
+    FROM agg, fk
+    """,
+    tags=("archiver", "verify", "quality"),
+)
+def verify_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the archived orders table:
+    key completeness + uniqueness, value range, enum membership, and
+    referential integrity against customer — the expectation checks a
+    target-side verifier runs after every archive batch, extending the
+    reference's count-only verification (A31, worker/worker.go:230).
+    The row-local rules compute in ONE combinable pass; uniqueness
+    rides the same aggregate via COUNT(*) - COUNT(DISTINCT); the FK
+    probe is a broadcast anti-join count."""
+    o = t(spark, sf_dir, "orders")
+    cust_keys = t(spark, sf_dir, "customer").select("c_custkey")
+    fk = (
+        o.join(
+            F.broadcast(cust_keys),
+            o.o_custkey == cust_keys.c_custkey,
+            "left_anti",
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("fk_violations"))
+    )
+    agg = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderkey"))
+        .cast("bigint")
+        .alias("null_keys"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("bigint")
+        .alias("duplicate_keys"),
+        F.count_if(F.col("o_totalprice") <= 0)
+        .cast("bigint")
+        .alias("nonpositive_prices"),
+        F.count_if(~F.col("o_orderstatus").isin("F", "O", "P"))
+        .cast("bigint")
+        .alias("bad_status"),
+    )
+    ok = (
+        (F.col("null_keys") == 0)
+        & (F.col("duplicate_keys") == 0)
+        & (F.col("nonpositive_prices") == 0)
+        & (F.col("bad_status") == 0)
+        & (F.col("fk_violations") == 0)
+    )
+    return agg.crossJoin(F.broadcast(fk)).select(
+        "n_rows",
+        "null_keys",
+        "duplicate_keys",
+        "nonpositive_prices",
+        "bad_status",
+        "fk_violations",
+        ok.alias("all_pass"),
+    )

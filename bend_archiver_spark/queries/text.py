@@ -203,3 +203,56 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+@register(
+    "text_fuzzy_match_parts",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+     AND a.p_name <> b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("text", "fuzzy", "entity-resolution"),
+)
+def text_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity resolution): candidate pairs are
+    generated only within a blocking key (p_type) and scored with
+    exact Levenshtein edit distance — the classic near-identical-name
+    detector for catalog/metadata dedup. The block-key equijoin keeps
+    candidates O(sum of block sizes squared / blocks), never a global
+    cross product; at 100 TB the blocking key is the thing you tune
+    (add more columns, or LSH over name shingles for fuzzier blocks).
+    Edit distance is integer-exact in both engines."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_type").alias("bk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_type").alias("bk"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "bk")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("name_a") != F.col("name_b"))
+            & (dist <= 2)
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )
