@@ -392,3 +392,64 @@ def pipeline_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") <= 5)
         .select("source", "doc_id", "rn")
     )
+
+
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150
+
+_CHUNK_ORACLE = f"""
+WITH starts AS (
+  SELECT doc_id, text, n_chars,
+         unnest(range(0, n_chars, {_CHUNK_STRIDE})) AS chunk_start
+  FROM documents),
+chunks AS (
+  SELECT doc_id,
+         CAST(chunk_start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+         CAST(chunk_start AS BIGINT) AS chunk_start,
+         substr(text, chunk_start + 1, {_CHUNK_SIZE}) AS chunk
+  FROM starts)
+SELECT doc_id, chunk_idx, chunk_start,
+       CAST(length(chunk) AS BIGINT) AS chunk_len,
+       md5(chunk) AS chunk_md5
+FROM chunks
+"""
+
+
+@register(
+    "pipeline_chunk_documents",
+    oracle=_CHUNK_ORACLE,
+    tags=("pipeline", "chunking"),
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (200-char windows, stride 150,
+    25% overlap) — the context-window splitting step that precedes
+    tokenization and packing in an LLM ingest pipeline. Chunk starts
+    come from a per-row ``sequence`` explode (a zero-shuffle
+    generator); each chunk carries its offset, length, and content
+    hash so downstream dedup/packing can operate without re-reading
+    the text. At 100 TB this runs as a map-only stage — no exchange
+    anywhere in the plan."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    starts = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("n_chars") - 1, F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("chunk_start"),
+    )
+    chunk = F.substring(
+        F.col("text"), F.col("chunk_start") + 1, _CHUNK_SIZE
+    )
+    return starts.select(
+        "doc_id",
+        F.expr(f"chunk_start div {_CHUNK_STRIDE}")
+        .cast("bigint")
+        .alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(chunk.cast("binary")).alias("chunk_md5"),
+    )
