@@ -453,3 +453,74 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).cast("bigint").alias("chunk_len"),
         F.md5(chunk.cast("binary")).alias("chunk_md5"),
     )
+
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH starts AS (
+  SELECT doc_id, text, n_chars,
+         unnest(range(0, n_chars, {_CHUNK_STRIDE})) AS chunk_start
+  FROM documents),
+chunks AS (
+  SELECT doc_id, md5(substr(text, chunk_start + 1, {_CHUNK_SIZE})) AS chunk_md5
+  FROM starts),
+keepers AS (
+  SELECT chunk_md5, MIN(doc_id) AS keeper_doc,
+         CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM chunks GROUP BY chunk_md5)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) FILTER (WHERE k.keeper_doc = c.doc_id) AS BIGINT)
+         AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE k.n_copies > 1) AS BIGINT)
+         AS n_shared
+FROM chunks c JOIN keepers k ON k.chunk_md5 = c.chunk_md5
+GROUP BY c.doc_id
+"""
+
+
+@register(
+    "pipeline_dedup_chunks",
+    oracle=_CHUNK_DEDUP_ORACLE,
+    tags=("pipeline", "chunking", "dedup"),
+)
+def pipeline_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup composed over the sliding-window
+    chunker: each chunk's content hash elects a keeper (min doc_id);
+    per document, report how many of its chunks it owns vs shares —
+    the sub-document dedup pass that strips boilerplate spans
+    repeated across a corpus without dropping whole documents. One
+    shuffle on the content hash, one on doc_id; both combinable."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("chunk_start"),
+        "text",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.substring(
+                F.col("text"), F.col("chunk_start") + 1, _CHUNK_SIZE
+            ).cast("binary")
+        ).alias("chunk_md5"),
+    )
+    keepers = chunks.groupBy("chunk_md5").agg(
+        F.min("doc_id").alias("keeper_doc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+    return (
+        chunks.join(keepers, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count_if(F.col("keeper_doc") == F.col("doc_id"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.count_if(F.col("n_copies") > 1)
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import register, t
+from .base import dec_sum, register, t
 
 
 @register(
@@ -255,4 +255,72 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id", "event_type", "value", F.round(z, 9).alias("zscore")
         )
+    )
+
+
+@register(
+    "orders_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS monetary_dec
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, frequency,
+             CAST(monetary_dec AS DOUBLE) AS monetary,
+             CAST(ntile(4) OVER (ORDER BY last_order, o_custkey)
+                  AS BIGINT) AS r_score,
+             CAST(ntile(4) OVER (ORDER BY frequency, o_custkey)
+                  AS BIGINT) AS f_score,
+             CAST(ntile(4) OVER (ORDER BY monetary_dec, o_custkey)
+                  AS BIGINT) AS m_score
+      FROM per_cust)
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE)
+             AS segment_value
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    tags=("relational", "window", "segmentation"),
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quantile segmentation: quartile-score every customer on
+    recency / frequency / monetary value (ntile over a TOTAL order —
+    ties broken by custkey, so bucket membership is deterministic),
+    then size and value each of the 64 segments. Monetary stays
+    decimal through scoring so quartile boundaries are exact.
+
+    Scale note: a bare ``ntile OVER (ORDER BY ...)`` funnels the
+    per-customer rollup through one partition; acceptable for
+    customer-cardinality inputs (orders of magnitude below fact
+    tables). For fact-scale scoring, swap ntile for a two-phase
+    percentile (approx_percentile boundaries broadcast + bucket
+    lookup) — same contract as the distributed prefix sum
+    (operators/prefix.py)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+            "monetary_dec"
+        ),
+    )
+    r_w = Window.orderBy("last_order", "o_custkey")
+    f_w = Window.orderBy("frequency", "o_custkey")
+    m_w = Window.orderBy("monetary_dec", "o_custkey")
+    scored = per_cust.select(
+        "o_custkey",
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        F.ntile(4).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(4).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(4).over(m_w).cast("bigint").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        dec_sum(F.col("monetary"), "segment_value"),
     )
