@@ -153,6 +153,35 @@ class TestNewOperatorPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan  # codebook + cell joins
 
+    def test_chunking_is_map_only(self, spark, sf_dir):
+        """Sliding-window chunking must plan with no exchange at all
+        (generator + projection only) — at 100 TB it's a pure map
+        stage. The only allowed exchange is the input-fanout
+        round-robin repartition of the single-file test corpus."""
+        plan = plan_of(spark, sf_dir, "pipeline_chunk_documents")
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange rangepartitioning" not in plan
+        assert "Join" not in plan
+
+    def test_fuzzy_match_blocked_not_cartesian(self, spark, sf_dir):
+        """Fuzzy matching must join on the blocking key, never an
+        all-pairs product."""
+        plan = plan_of(spark, sf_dir, "text_fuzzy_match_parts")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_quality_constraints_fk_broadcast(self, spark, sf_dir):
+        """The referential-integrity probe is a broadcast anti-join;
+        row-local rules all ride one combinable aggregate."""
+        plan = plan_of(spark, sf_dir, "verify_quality_constraints")
+        assert "LeftAnti, BuildRight" in plan
+        assert "partial_count" in plan
+
+    def test_latest_snapshot_single_exchange(self, spark, sf_dir):
+        """row_number and the per-key count share one hash exchange."""
+        plan = plan_of(spark, sf_dir, "events_latest_snapshot")
+        assert plan.count("Exchange hashpartitioning") == 1
+
     def test_multiset_ops_plan_as_signed_counts(self, spark, sf_dir):
         """exceptAll/intersectAll compile to aggregates of signed
         counts, not a join per duplicate row."""
