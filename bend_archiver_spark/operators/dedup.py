@@ -141,18 +141,45 @@ def minhash_lsh_dedup(
     """
     perms = perms or DEFAULT_PERMS
     rows_per_band = len(perms) // n_bands
-    toks = shingle(df, id_col, text_col, ngram)
+    # Signatures are computed ENTIRELY map-side with array HOFs: the
+    # distinct shingle set, its 60-bit hashes, and the 16 permutation
+    # minima all live inside one projection — no explode, no distinct
+    # shuffle, no groupBy. Semantically identical to the exploded
+    # formulation (distinct on shingle STRINGS first, then hash, so a
+    # hash collision inside a doc behaves the same as the row form and
+    # the oracle); the first exchange in the whole plan is the band
+    # join. Arrays are bounded by document size, so per-row state is
+    # fine at 100 TB (multi-MB docs -> thousands of shingles).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    src = df.repartition(parallelism)
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    sz = F.size(arr)
+    sh = F.when(
+        sz >= ngram,
+        F.transform(
+            F.sequence(F.lit(0), sz - ngram),
+            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, F.lit(ngram))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hvs = F.transform(
+        F.array_distinct(sh), lambda s: hash64_expr(s) % P31
+    )
+    with_h = src.select(
+        F.col(id_col).alias("doc_id"), hvs.alias("hvs")
+    )
     if persist_shingles:
-        toks = toks.persist()
-    h = toks.select("doc_id", (hash64_expr(F.col("tok")) % P31).alias("hv"))
-    # the shingle-set size rides along in the same aggregation — the
-    # Jaccard verification stage then needs no second pass over toks
-    sig = h.groupBy("doc_id").agg(
+        with_h = with_h.persist()
+    sig = with_h.select(
+        "doc_id",
         *[
-            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % P31).alias(f"s{i}")
+            F.array_min(
+                F.transform(
+                    F.col("hvs"), lambda h: (F.lit(a) * h + F.lit(b)) % P31
+                )
+            ).alias(f"s{i}")
             for i, (a, b) in enumerate(perms)
         ],
-        F.count(F.lit(1)).alias("n"),
+        F.size("hvs").alias("n"),
     )
     band_keys = F.array(
         *[
@@ -179,7 +206,9 @@ def minhash_lsh_dedup(
     # intersection join shuffles int64 keys instead of multi-word
     # strings (collision odds ~(n^2)/2^61 — negligible, and identical
     # in the oracle which uses the same hashes)
-    hashed_toks = h.withColumnRenamed("hv", "tok")
+    hashed_toks = with_h.select(
+        "doc_id", F.explode("hvs").alias("tok")
+    )
     return jaccard_pairs(hashed_toks, threshold, candidates=cand, sizes=sizes)
 
 
