@@ -97,6 +97,15 @@ class Config:
     # degrade output to the reference's wire shape (bool->tinyint,
     # temporal->string, decimal->double); see sources/typemap.py
     reference_compat: bool = False
+    # execute the generated COPY INTO against a live warehouse over
+    # JDBC after the stage write (reference
+    # ingester/ingest_databend.go:182-195). Requires databend_table and
+    # a JDBC URL for the warehouse; meaningful with target_format
+    # 'ndjson' (the stage-file format the statement declares)
+    execute_copy_into: bool = False
+    warehouse_jdbc_url: str = ""
+    warehouse_user: str = ""
+    warehouse_pass: str = ""
 
     # --- JSON field-name compatibility -------------------------------
     _JSON_KEYS = {
@@ -132,6 +141,10 @@ class Config:
         "targetFormat": "target_format",
         "targetPartitionBy": "target_partition_by",
         "referenceCompat": "reference_compat",
+        "executeCopyInto": "execute_copy_into",
+        "warehouseJdbcUrl": "warehouse_jdbc_url",
+        "warehouseUser": "warehouse_user",
+        "warehousePass": "warehouse_pass",
     }
 
     @classmethod

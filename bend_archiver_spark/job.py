@@ -28,7 +28,27 @@ from .planner import adjust_batch_size, coerce_key, split_time_windows
 from .sink import write_batch
 from .verify import VerifyResult, count_verify, idempotency_gate
 
-__all__ = ["ArchiveReport", "FileArchiveJob"]
+__all__ = [
+    "ArchiveReport",
+    "FileArchiveJob",
+    "JdbcArchiveJob",
+    "run_copy_into",
+]
+
+
+def read_target(spark: SparkSession, cfg: Config) -> DataFrame:
+    """Read the sink back for gate/verify. 'ndjson' is a sink-side
+    name (stage-file parity); Spark's reader calls it 'json', with the
+    same micro-precision timestamp format the writer used."""
+    if cfg.target_format == "ndjson":
+        from .sink import NDJSON_TS_FMT
+
+        return (
+            spark.read.format("json")
+            .option("timestampFormat", NDJSON_TS_FMT)
+            .load(cfg.target_path)
+        )
+    return spark.read.format(cfg.target_format).load(cfg.target_path)
 
 
 def check_idempotency_gate(spark: SparkSession, cfg: Config) -> None:
@@ -38,7 +58,7 @@ def check_idempotency_gate(spark: SparkSession, cfg: Config) -> None:
     must propagate — swallowing it would silently skip the guard on a
     corrupt or schema-degraded target and append rows twice."""
     try:
-        existing = spark.read.format(cfg.target_format).load(cfg.target_path)
+        existing = read_target(spark, cfg)
     except AnalysisException:
         return  # target does not exist yet — clean slate
     already = idempotency_gate(existing, cfg.source_where_condition)
@@ -47,6 +67,39 @@ def check_idempotency_gate(spark: SparkSession, cfg: Config) -> None:
             f"idempotency gate: target already has {already} rows "
             "matching the predicate; refusing to double-archive"
         )
+
+
+def run_copy_into(spark: SparkSession, cfg: Config, copy_executor=None) -> int:
+    """Execute the generated ``COPY INTO`` against the warehouse after
+    the stage write (A27-A28, ingester/ingest_databend.go:182-195) —
+    gated behind ``cfg.execute_copy_into``. The statement references
+    the stage path the job just wrote; ``copy_executor`` lets tests
+    inject a statement executor, otherwise one is built over the
+    warehouse's JDBC URL."""
+    import os
+
+    from .postsync import jdbc_executor
+    from .sink import execute_copy_into
+
+    if not cfg.databend_table:
+        raise RuntimeError("executeCopyInto requires databendTable")
+    if copy_executor is None:
+        if not cfg.warehouse_jdbc_url:
+            raise RuntimeError("executeCopyInto requires warehouseJdbcUrl")
+        copy_executor = jdbc_executor(
+            spark, cfg.warehouse_jdbc_url, cfg.warehouse_user, cfg.warehouse_pass
+        )
+    stage_loc = (
+        f"@{cfg.user_stage}/{os.path.basename(cfg.target_path.rstrip('/'))}/"
+    )
+    return execute_copy_into(
+        copy_executor,
+        cfg.databend_table,
+        stage_loc,
+        purge=cfg.copy_purge,
+        force=cfg.copy_force,
+        disable_variant_check=cfg.disable_variant_check,
+    )
 
 
 @dataclass
@@ -115,7 +168,9 @@ class FileArchiveJob:
         n_parts = max(1, min((mx - mn) // batch + 1, 10_000))
         return int(n_parts), batch, cfg.source_split_key, cnt
 
-    def run(self, check_idempotency: bool = True) -> ArchiveReport:
+    def run(
+        self, check_idempotency: bool = True, copy_executor=None
+    ) -> ArchiveReport:
         cfg = self.cfg
         t0 = time.monotonic()
         filtered = (
@@ -158,8 +213,13 @@ class FileArchiveJob:
             mode="append",
             partition_by=cfg.target_partition_by or None,
         )
+        copied = (
+            run_copy_into(self.spark, cfg, copy_executor)
+            if cfg.execute_copy_into
+            else None
+        )
 
-        target = self.spark.read.format(cfg.target_format).load(cfg.target_path)
+        target = read_target(self.spark, cfg)
         # source side of the verification contract (worker/worker.go:230-242):
         # the bounds probe already counted the filtered source — file
         # sources are immutable within the job, so reuse it instead of
@@ -196,6 +256,7 @@ class FileArchiveJob:
             batch_size=batch,
             elapsed_sec=elapsed,
             verify=verify,
+            details={} if copied is None else {"copy_into_rows": copied},
         )
 
 
@@ -217,7 +278,9 @@ class JdbcArchiveJob:
         self.cfg = cfg
         self.source = JdbcSource(spark, cfg)
 
-    def run(self, check_idempotency: bool = True) -> ArchiveReport:
+    def run(
+        self, check_idempotency: bool = True, copy_executor=None
+    ) -> ArchiveReport:
         cfg = self.cfg
         t0 = time.monotonic()
         if check_idempotency:
@@ -241,9 +304,14 @@ class JdbcArchiveJob:
             mode="append",
             partition_by=cfg.target_partition_by or None,
         )
+        copied = (
+            run_copy_into(self.spark, cfg, copy_executor)
+            if cfg.execute_copy_into
+            else None
+        )
 
         source_rows = self.source.count()
-        target = self.spark.read.format(cfg.target_format).load(cfg.target_path)
+        target = read_target(self.spark, cfg)
         tgt_scoped = (
             target.filter(cfg.source_where_condition)
             if cfg.source_where_condition
@@ -282,4 +350,5 @@ class JdbcArchiveJob:
             elapsed_sec=time.monotonic() - t0,
             verify=verify,
             deleted_rows=deleted,
+            details={} if copied is None else {"copy_into_rows": copied},
         )

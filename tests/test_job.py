@@ -83,6 +83,58 @@ class TestFileArchiveJob:
             FileArchiveJob(spark, _cfg(tgt), li).run()
         shutil.rmtree(tgt, ignore_errors=True)
 
+    def test_execute_copy_into_flag(self, spark, sf_dir, tmp_path):
+        """executeCopyInto runs the generated COPY INTO through the
+        statement executor after the stage write, with the job's
+        purge/force/stage knobs reflected in the SQL (parity:
+        ingester/ingest_databend.go:182-195)."""
+        tgt = str(tmp_path / "stage_batch")
+        li = load_table(spark, sf_dir, "lineitem")
+        executed = []
+
+        def fake_executor(sql):
+            executed.append(sql)
+            return 42
+
+        report = FileArchiveJob(
+            spark,
+            _cfg(
+                tgt,
+                target_format="ndjson",
+                execute_copy_into=True,
+                databend_table="archive.lineitem",
+                copy_force=True,
+            ),
+            li,
+        ).run(copy_executor=fake_executor)
+        assert report.details["copy_into_rows"] == 42
+        assert len(executed) == 1
+        sql = executed[0]
+        assert sql.startswith("COPY INTO archive.lineitem FROM @~/stage_batch/")
+        assert "FORCE = true" in sql and "PURGE = true" in sql
+        shutil.rmtree(tgt, ignore_errors=True)
+
+    def test_execute_copy_into_requires_table_and_url(
+        self, spark, sf_dir, tmp_path
+    ):
+        tgt = str(tmp_path / "stage_noconf")
+        li = load_table(spark, sf_dir, "lineitem")
+        with pytest.raises(RuntimeError, match="databendTable"):
+            FileArchiveJob(
+                spark, _cfg(tgt, execute_copy_into=True), li
+            ).run()
+        shutil.rmtree(tgt, ignore_errors=True)
+        with pytest.raises(RuntimeError, match="warehouseJdbcUrl"):
+            FileArchiveJob(
+                spark,
+                _cfg(
+                    str(tmp_path / "stage_nourl"),
+                    execute_copy_into=True,
+                    databend_table="archive.lineitem",
+                ),
+                li,
+            ).run()
+
     def test_empty_source_short_circuit(self, spark, sf_dir, tmp_path):
         tgt = str(tmp_path / "t3")
         li = load_table(spark, sf_dir, "lineitem")
