@@ -22,5 +22,6 @@ from . import multimodal  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
 from . import udxf  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
+from . import retrieval  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec"]

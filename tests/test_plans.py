@@ -190,6 +190,36 @@ class TestNewOperatorPlans:
         assert "vcol" in plan  # the signed-count rewrite's column
 
 
+class TestRetrievalPlans:
+    def test_bm25_inverted_index_shape(self, spark, sf_dir):
+        """Query terms broadcast (postings-only tf agg), corpus stats
+        ride a one-row broadcast, the top-k is a heap — no cartesian
+        pair product anywhere."""
+        plan = plan_of(spark, sf_dir, "text_bm25_search")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # query-term postings probe
+        # only the one-row corpus-stats broadcast may nested-loop
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+        assert "TakeOrderedAndProject" in plan
+
+    def test_bloom_probe_side_never_shuffles(self, spark, sf_dir):
+        """The probe stream must stay map-side: bitmap arrives as a
+        one-row broadcast array, the exact-verdict join broadcasts the
+        reference texts."""
+        plan = plan_of(spark, sf_dir, "dedup_bloom_prefilter")
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1  # bitmap row
+        assert "BroadcastHashJoin" in plan  # exact-dup verdict probe
+
+    def test_surprisal_vocabulary_broadcasts(self, spark, sf_dir):
+        """The rarity table (vocabulary-sized) broadcasts against the
+        token stream; all aggregations combine map-side."""
+        plan = plan_of(spark, sf_dir, "text_surprisal_bits")
+        assert "BroadcastHashJoin" in plan
+        assert "partial_count" in plan
+
+
 class TestNoPythonInHotPath:
     # the only queries allowed to evaluate Python: the Arrow-batched
     # multimodal decode pipeline and the two deliberate UDxF-surface
