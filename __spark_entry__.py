@@ -47,9 +47,8 @@ _GREEN_R01 = frozenset({
 })
 
 
-# The 100 names registered when round 1 was judged — used to keep the
-# emission tiers stable as the registry grows.
-_R01_REGISTRY = _GREEN_R01 | frozenset({
+# Queries with a driver-green CORRECTNESS_r03 row (hash_match true).
+_GREEN_R03 = frozenset({
     "agg_collect_sorted", "agg_approx_distinct_users",
     "tpch_q8_market_share", "tpch_q17_small_quantity",
     "tpch_q9_product_profit", "tpch_q13_order_distribution",
@@ -58,8 +57,7 @@ _R01_REGISTRY = _GREEN_R01 | frozenset({
     "unpivot_lineitem_metrics", "window_range_sliding_revenue",
     "timeseries_gapfill_daily", "profile_columns_orders",
     "diagnose_key_skew", "map_funcs_events", "setops_all_lineitem",
-    "timeseries_moving_avg", "sessionize_events",
-    "funnel_signup_to_purchase", "session_window_native",
+    "timeseries_moving_avg", "session_window_native",
     "streaming_window_counts", "text_token_stats",
     "text_quality_scores", "text_langid_heuristic", "text_fingerprint",
     "text_tfidf_top_terms", "text_tf_cosine_pairs", "dedup_exact",
@@ -67,24 +65,29 @@ _R01_REGISTRY = _GREEN_R01 | frozenset({
     "dedup_simhash", "dedup_embedding_cosine",
     "dedup_connected_components", "dedup_clusters_keep_one",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "embedding_label_stats",
-    "ann_ivf_topk", "multimodal_binary_meta", "multimodal_decode_stub",
-    "multimodal_frame_sample", "pipeline_curate_documents",
-    "pipeline_incremental_dedup", "pipeline_hash_sample",
-    "pipeline_train_val_test", "pipeline_stratified_sample",
-    "pipeline_token_budget_shards", "udtf_token_stats",
-    "udaf_weighted_discount", "grouped_map_minmax_norm",
+    "multimodal_binary_meta", "multimodal_frame_sample",
+    "pipeline_curate_documents", "pipeline_incremental_dedup",
+    "pipeline_hash_sample", "pipeline_train_val_test",
+    "pipeline_stratified_sample", "pipeline_token_budget_shards",
+    "udtf_token_stats",
 })
+
+# Checked r03 with the weaker rows-only protocol — by design (no SQL
+# oracle); re-emitting them early would waste capped driver rows.
+_ROWS_ONLY_BY_DESIGN = frozenset({"ann_ivf_topk", "multimodal_decode_stub"})
+
+_CHECKED_GOOD = _GREEN_R01 | _GREEN_R03 | _ROWS_ONLY_BY_DESIGN
 
 
 def _ordered_names() -> list[str]:
     """Emission order for a possibly-capped correctness pass:
-    (1) round-1 queries with no driver-green row, (2) queries added
-    after round 1, (3) round-1 driver-green queries."""
+    (1) queries with no green driver row yet — the 30 never-checked
+    plus the 2 r03-failing (sessionize_events,
+    funnel_signup_to_purchase) — then (2) everything already green."""
     names = list(REGISTRY.keys())
-    tier1 = [n for n in names if n in _R01_REGISTRY and n not in _GREEN_R01]
-    tier2 = [n for n in names if n not in _R01_REGISTRY]
-    tier3 = [n for n in names if n in _GREEN_R01]
-    return tier1 + tier2 + tier3
+    tier1 = [n for n in names if n not in _CHECKED_GOOD]
+    tier2 = [n for n in names if n in _CHECKED_GOOD]
+    return tier1 + tier2
 
 
 def entry(spark: SparkSession) -> DataFrame:

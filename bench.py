@@ -38,23 +38,32 @@ def main() -> None:
     spark = get_spark("bench")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     # JVM/codegen warmup so the first timed query isn't charged for it
     force(load_table(spark, sf_dir, "lineitem").limit(1000))
 
     # headline queries: best-of-2 — single-shot numbers at this scale
     # are noise-dominated (+-1.5s observed), which would trip the
-    # round-over-round regression gate spuriously
+    # round-over-round regression gate spuriously.
+    # Per-query isolation: one failing query must never blind the whole
+    # perf signal (rounds 2-3 had rc=1 and no numbers at all because a
+    # single AnalysisException escaped) — record the error and keep
+    # going; the JSON line always prints.
     for name, spec in REGISTRY.items():
         if not spec.headline:
             continue
         best = float("inf")
-        for _ in range(2):
-            df = spec.spark(spark, sf_dir)
-            t0 = time.monotonic()
-            force(df)
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 4)
+        try:
+            for _ in range(2):
+                df = spec.spark(spark, sf_dir)
+                t0 = time.monotonic()
+                force(df)
+                best = min(best, time.monotonic() - t0)
+            timings[name] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001 — perf harness must survive
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"ERR {name}: {errors[name]}", file=sys.stderr)
 
     # archive-sync pipeline (reference production shape: ~40k rows per
     # partition over the split key, extract -> write -> verify)
@@ -79,22 +88,27 @@ def main() -> None:
                 f"WARN archive_sync verify mismatch: {report.verify}",
                 file=sys.stderr,
             )
+    except Exception as exc:  # noqa: BLE001 — perf harness must survive
+        errors["archive_sync"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"ERR archive_sync: {errors['archive_sync']}", file=sys.stderr)
     finally:
         shutil.rmtree(target, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
-    spark.stop()
+    result = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

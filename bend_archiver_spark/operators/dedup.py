@@ -130,14 +130,23 @@ def minhash_lsh_dedup(
     ngram: int = 3,
     perms: list[tuple[int, int]] | None = None,
     n_bands: int = 4,
-    persist_shingles: bool = False,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs with exact-Jaccard verification.
 
-    signatures: one groupBy of ``len(perms)`` running minima over the
-    shingle stream (map-side combined). banding: ``n_bands`` keys per
-    doc, candidates = band collisions. verification: exact Jaccard on
-    candidates only. Never materializes O(n^2) — the 100 TB path.
+    signatures: ``len(perms)`` array minima over the map-side shingle
+    hash array. banding: ``n_bands`` keys per doc, candidates = band
+    collisions. verification: exact Jaccard on candidates only. Never
+    materializes O(n^2) — the 100 TB path.
+
+    ``persist_shingles`` (default on) materializes the (doc_id, hvs)
+    projection as a plan barrier. Without it Catalyst's CollapseProject
+    inlines the expensive ``hvs`` expression (shingle split + md5 per
+    shingle) into all 17 downstream consumers — ~17x the per-document
+    hash work, measured 3-5x wall-clock at sf0.1. The persist is
+    MEMORY_AND_DISK and holds only (id, int64 array) — bounded by the
+    corpus's shingle count, spilling rather than OOMing at scale; pass
+    False only for one-shot plans that are never reused.
     """
     perms = perms or DEFAULT_PERMS
     rows_per_band = len(perms) // n_bands

@@ -262,6 +262,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.minhash_lsh_dedup(
         d, "doc_id", "text",
         threshold=_JACCARD_THRESHOLD, perms=_PERMS, n_bands=_N_BANDS,
+        persist_shingles=True,
     )
 
 

@@ -54,10 +54,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     it stays a single-pass window pipeline."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_sec = _GAP_MIN * 60
+    # Interval arithmetic, not cast-to-long: valid for both TimestampType
+    # and TIMESTAMP_NTZ (NTZ→BIGINT cast is illegal in Spark 4.x).
     is_new = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-        > gap_sec,
+        F.col("ts") - F.lag("ts").over(w)
+        > F.expr(f"INTERVAL {_GAP_MIN} MINUTES"),
         1,
     ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
     tagged = ev.withColumn("is_new", is_new).withColumn(
@@ -125,9 +126,15 @@ def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_purchase"
         ),
         F.col("first_purchase_after").isNotNull().alias("converted"),
-        (
-            F.col("first_purchase_after").cast("long")
-            - F.col("first_signup").cast("long")
+        # timestampdiff works on both TimestampType and TIMESTAMP_NTZ
+        # (cast-to-long would be illegal on NTZ). date_trunc first:
+        # timestampdiff truncates the ELAPSED interval, but the oracle's
+        # date_diff('second', ...) counts second-boundary crossings —
+        # they differ by one when the purchase's sub-second part is
+        # smaller than the signup's.
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', first_signup),"
+            " date_trunc('second', first_purchase_after))"
         ).alias("seconds_to_convert"),
     )
 

@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Naive (no-timezone) parquet timestamps must read as TimestampType
+        # in the UTC session, not TIMESTAMP_NTZ: NTZ breaks watermarks
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and long-casts, and the
+        # DuckDB oracle sees the same instants as naive/UTC. Matches the
+        # reference's string-temporal model (SURVEY §1.2).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")

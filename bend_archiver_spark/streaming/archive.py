@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..config import TIME_SPLIT_STRIDES
+from .timecol import ensure_event_time
 
 __all__ = ["incremental_archive", "windowed_event_counts"]
 
@@ -46,7 +47,7 @@ def windowed_event_counts(
     """
     stride = TIME_SPLIT_STRIDES[unit]
     window_spec = F.window(F.col(time_col), f"{int(stride.total_seconds())} seconds")
-    df = events
+    df = ensure_event_time(events, time_col)
     if events.isStreaming:
         df = df.withWatermark(time_col, watermark)
     return (

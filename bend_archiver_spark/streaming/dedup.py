@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from .timecol import ensure_event_time
+
 __all__ = ["dedup_stream"]
 
 
@@ -36,6 +38,7 @@ def dedup_stream(
     """
     if not df.isStreaming:
         return df.dropDuplicates(list(id_cols))
+    df = ensure_event_time(df, time_col)
     return df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         list(id_cols)
     )

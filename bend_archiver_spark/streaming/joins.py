@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .timecol import ensure_event_time
+
 __all__ = ["enrich_stream", "interval_join"]
 
 
@@ -60,6 +62,8 @@ def interval_join(
     side's watermark minus the interval). Batch inputs run the same
     join expression directly.
     """
+    left = ensure_event_time(left, left_time)
+    right = ensure_event_time(right, right_time)
     if left.isStreaming:
         left = left.withWatermark(left_time, watermark)
     if right.isStreaming:

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .timecol import ensure_event_time
+
 __all__ = ["sessionize_stream", "SESSION_OUTPUT_SCHEMA"]
 
 SESSION_OUTPUT_SCHEMA = T.StructType(
@@ -123,7 +125,7 @@ def sessionize_stream(
         else GroupStateTimeout.NoTimeout
     )
     return (
-        events.select("user_id", "ts")
+        ensure_event_time(events.select("user_id", "ts"), "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_func(gap_min * 60, timeout_ms),

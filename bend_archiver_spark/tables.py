@@ -1,11 +1,20 @@
 """Test-data table loaders.
 
-The driver-generated parquet (`TESTDATA.md`) includes one quirk: the
-``events`` table's ``ts`` column is parquet ``TIMESTAMP(NANOS)``, which
-Spark rejects (`PARQUET_TYPE_ILLEGAL`) while DuckDB truncates to
-micros. We read nanos as long (``spark.sql.legacy.parquet.nanosAsLong``)
-and convert to ``TimestampType`` at micro precision, matching the
-DuckDB oracle's view of the same file.
+Two temporal-fidelity normalizations happen here (SURVEY §1.2 maps the
+reference's temporal-as-string model to ``TimestampType`` natively):
+
+1. Parquet ``TIMESTAMP(NANOS)`` (round-1 driver data): Spark rejects it
+   (`PARQUET_TYPE_ILLEGAL`) while DuckDB truncates to micros. We read
+   nanos as long (``spark.sql.legacy.parquet.nanosAsLong``) and convert
+   to ``TimestampType`` at micro precision.
+2. Naive (isAdjustedToUTC=false) micro-precision timestamps (round-3+
+   driver data): Spark 4.x infers ``TIMESTAMP_NTZ`` by default, which
+   breaks watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and
+   long-casts. We disable ``inferTimestampNTZ`` at read time so they
+   load as ``TimestampType`` in the UTC session — exactly the DuckDB
+   oracle's view of the same file — and belt-and-braces cast any NTZ
+   column that still slips through (e.g. a caller-supplied session with
+   the conf pinned).
 """
 
 from __future__ import annotations
@@ -42,13 +51,29 @@ def _nano_ts_columns(path: str) -> list[str]:
     ]
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TimestampType (UTC session)."""
+    ntz_cols = [f.name for f in df.schema.fields
+                if f.dataType.typeName() == "timestamp_ntz"]
+    if not ntz_cols:
+        return df
+    return df.withColumns(
+        {c: F.col(c).cast("timestamp") for c in ntz_cols}
+    )
+
+
 def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet, normalizing TIMESTAMP(NANOS) columns (which Spark
     otherwise rejects with PARQUET_TYPE_ILLEGAL) to micro-precision
-    timestamps — the same truncation DuckDB applies."""
+    timestamps — the same truncation DuckDB applies — and naive micro
+    timestamps to TimestampType rather than TIMESTAMP_NTZ.
+
+    Runtime conf (not builder conf) because callers — notably the
+    correctness driver — hand us their own SparkSession."""
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nano_cols = _nano_ts_columns(path)
     if not nano_cols:
-        return spark.read.parquet(path)
+        return _normalize_ntz(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
@@ -61,7 +86,7 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
         # integer division: `/` would go through double and lose precision
         # (nanos-since-epoch ~1.7e18 > 2^53)
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    return df
+    return _normalize_ntz(df)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
