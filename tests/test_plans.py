@@ -82,6 +82,19 @@ class TestNewOperatorPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_minhash_signature_barrier_holds(self, spark, sf_dir):
+        """The (doc_id, hvs) shingle-hash projection must stay behind a
+        persist barrier. Without it CollapseProject inlines the md5
+        shingle hashing into every one of the 17 downstream consumers
+        (16 permutation minima + size) — measured 3-5x wall-clock at
+        sf0.1 (round-2 regression, commit fdfbf25). Pin: the cache scan
+        exists and the expensive expression is not fanned out."""
+        plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+        assert "InMemoryTableScan" in plan
+        # collapsed plans show the md5 expression duplicated well past
+        # this bound (12+ at 1 md5 per inlined copy)
+        assert plan.count("md5") <= 8
+
     def test_embedding_cosine_lsh_no_cartesian(self, spark, sf_dir):
         """The registered cosine-dedup query must gate pairs through
         LSH bucket equality, never an all-pairs product. The only
