@@ -23,5 +23,7 @@ from . import pipeline  # noqa: F401,E402
 from . import udxf  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
 from . import retrieval  # noqa: F401,E402
+from . import embedding2  # noqa: F401,E402
+from . import quality  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec"]

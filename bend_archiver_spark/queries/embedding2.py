@@ -1,0 +1,203 @@
+"""Product quantization (PQ) — the compression + search format real
+100 TB vector stores run on (IVF-PQ: Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Two passes:
+
+- ``embedding_pq_encode``: encode every vector as M sub-codebook ids
+  (the build side of a PQ index);
+- ``ann_pq_adc_topk``: asymmetric-distance search — queries stay exact,
+  database vectors are represented by their codes, distances come from
+  a per-query lookup table over sub-centroids.
+
+Like embedding.py's fixed-codebook operators, the sub-codebooks are
+FIXED (subspace slices of the vectors with ``vec_id < _PQ_K``) instead
+of trained, which keeps every stage exact int64 arithmetic (components
+quantized at 1e6) and therefore driver-checkable end-to-end; swapping a
+trained codebook changes no plan shape.
+
+Scale design: the codebook is a broadcast (K vectors); encoding is one
+broadcast fan-out join + one map-side-combinable groupBy + one window
+on (vec_id, subspace); ADC search broadcasts the per-query LUT
+(Q*M*K rows) and touches each code row once — no all-pairs product
+anywhere. Reference delegates all compute (SURVEY §2 Table B "None");
+this is a beyond-reference operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.similarity import explode_quantized
+from .base import register, t
+
+_PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims per subspace)
+_PQ_K = 4  # centroids per sub-codebook: slices of vectors vec_id < 4
+_SUB_DIM = 8
+_N_QUERIES = 10  # vec_id < 10 is the query set (as in queries/similarity.py)
+_TOP_K = 5
+
+# quantized components with subspace index, shared CTE
+_EM_SQL = f"""
+      SELECT vec_id,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xq,
+             (generate_subscripts(embedding, 1) - 1) // {_SUB_DIM} AS m,
+             generate_subscripts(embedding, 1) - 1 AS i
+      FROM embeddings
+"""
+
+_PQ_ENCODE_ORACLE = f"""
+WITH e AS ({_EM_SQL}),
+cent AS (SELECT vec_id AS cid, m, i, xq FROM e WHERE vec_id < {_PQ_K}),
+d2 AS (
+  SELECT v.vec_id, v.m, c.cid,
+         SUM((v.xq - c.xq) * (v.xq - c.xq)) AS dist
+  FROM e v JOIN cent c ON c.i = v.i
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT vec_id, m, cid, dist,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY dist, cid) AS rn
+  FROM d2)
+SELECT vec_id, m AS subspace, cid AS code,
+       CAST(dist AS BIGINT) AS dist_q
+FROM ranked WHERE rn = 1
+"""
+
+
+def _encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, subspace, code, dist_q): nearest sub-centroid per
+    subspace by exact int64 squared L2, ties to the smaller code."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = explode_quantized(emb, "vec_id", "embedding").withColumn(
+        "m", (F.col("i") / _SUB_DIM).cast("int")
+    )
+    cent = e.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "i", F.col("xq").alias("cq")
+    )
+    diff = F.col("xq") - F.col("cq")
+    d2 = (
+        e.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "m", "cid")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    win = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    return (
+        d2.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("m").alias("subspace"),
+            F.col("cid").alias("code"),
+            F.col("dist").cast("bigint").alias("dist_q"),
+        )
+    )
+
+
+@register(
+    "embedding_pq_encode",
+    oracle=_PQ_ENCODE_ORACLE,
+    tags=("embedding", "quantization", "pq"),
+)
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: each 64-dim vector becomes 8 sub-codebook ids (one
+    nearest centroid per 8-dim slice, exact int64 distances, ties to
+    the smaller id) plus the per-subspace quantization error. 8 codes
+    x 2 bits replace 256 bytes of float32 — the compression that makes
+    billion-vector stores fit in memory. One broadcast join + one
+    combinable groupBy + one (vec_id, subspace) window; at 100 TB the
+    window key is fine-grained enough to never concentrate."""
+    return _encoded(spark, sf_dir)
+
+
+_PQ_ADC_ORACLE = f"""
+WITH e AS ({_EM_SQL}),
+cent AS (SELECT vec_id AS cid, m, i, xq FROM e WHERE vec_id < {_PQ_K}),
+d2 AS (
+  SELECT v.vec_id, v.m, c.cid,
+         SUM((v.xq - c.xq) * (v.xq - c.xq)) AS dist
+  FROM e v JOIN cent c ON c.i = v.i
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, m, cid AS code
+  FROM (SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, cid) AS rn
+        FROM d2) r
+  WHERE rn = 1),
+lut AS (
+  SELECT vec_id AS query_id, m, cid, dist FROM d2
+  WHERE vec_id < {_N_QUERIES}),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         SUM(l.dist) AS adc_dist_q
+  FROM codes c
+  JOIN lut l ON l.m = c.m AND l.cid = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, neighbor_id, CAST(adc_dist_q AS BIGINT) AS adc_dist_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist_q, neighbor_id) AS rank
+  FROM adc)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_dist_q
+FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_PQ_ADC_ORACLE,
+    tags=("embedding", "ann", "pq"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: each query precomputes a lookup
+    table of exact distances to every sub-centroid (Q x M x K rows —
+    broadcast), then a database vector's approximate distance is just
+    the sum of M table lookups on its codes. The scan side touches
+    each (vec_id, subspace) code row once via a broadcast hash join —
+    the IVF-PQ search shape that serves billion-vector ANN, with no
+    per-vector float math at query time. Ties rank to the smaller
+    neighbor id; all arithmetic exact int64."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = explode_quantized(emb, "vec_id", "embedding").withColumn(
+        "m", (F.col("i") / _SUB_DIM).cast("int")
+    )
+    cent = e.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "i", F.col("xq").alias("cq")
+    )
+    diff = F.col("xq") - F.col("cq")
+    d2 = (
+        e.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "m", "cid")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    win = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    codes = (
+        d2.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+    lut = d2.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "m",
+        F.col("cid").alias("code"),
+        "dist",
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dist").cast("bigint").alias("adc_dist_q"))
+    )
+    rank_win = Window.partitionBy("query_id").orderBy(
+        "adc_dist_q", "neighbor_id"
+    )
+    return (
+        adc.withColumn(
+            "rank", F.row_number().over(rank_win).cast("bigint")
+        )
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_dist_q")
+    )

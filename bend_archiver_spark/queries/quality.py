@@ -1,0 +1,203 @@
+"""Corpus-quality scoring passes a training-data pipeline runs between
+dedup and sampling: a hashed-ngram linear quality classifier (the
+fasttext-style scorer used for CommonCrawl filtering), per-source
+document caps (anti-domination), and duplicated-ngram density (the
+boilerplate signal from Lee et al., "Deduplicating Training Data Makes
+Language Models Better", ACL 2022).
+
+All three are single-shuffle DataFrame pipelines with exact integer /
+dyadic-rational arithmetic so the DuckDB oracle hashes bit-identically.
+The reference has no text operators at all (SURVEY §2 Table B "String
+functions: host-language only") — this whole module is
+beyond-reference surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import hash64_sql, hash64_expr, register, t
+
+# ---------------------------------------------------------------------
+# Hashed-ngram linear quality classifier
+# ---------------------------------------------------------------------
+
+_N_BUCKETS = 1024
+_MIX = 2654435761  # Knuth multiplicative constant
+
+
+_CLS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         (({hash64_sql('tok')} % {_N_BUCKETS}) * {_MIX}) % {_N_BUCKETS}
+           - {_N_BUCKETS // 2} AS wq
+  FROM tok)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(wq) AS BIGINT) AS score_num,
+       CAST(SUM(wq) AS DOUBLE) / {_N_BUCKETS} AS score,
+       SUM(wq) > 0 AS keep
+FROM w GROUP BY doc_id
+"""
+
+
+@register(
+    "text_quality_classifier",
+    oracle=_CLS_ORACLE,
+    tags=("text", "quality", "classifier"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-ngram linear scorer: each token hashes into one of 1024
+    weight buckets; the document score is the sum of bucket weights and
+    ``keep`` is its sign — exactly the architecture of a
+    fasttext-style quality classifier, with deterministic pseudo-
+    random weights standing in for trained ones (the plan is unchanged
+    when a trained weight table is broadcast instead). Weights are
+    integers (numerator over 1024) so the sum is exact and order-
+    independent. One explode + one map-side-combinable groupBy on
+    doc_id — a single-pass, single-shuffle scan at any corpus size."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    wq = (
+        (hash64_expr(F.col("tok")) % _N_BUCKETS) * _MIX
+    ) % _N_BUCKETS - F.lit(_N_BUCKETS // 2)
+    return (
+        tok.select("doc_id", wq.alias("wq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("wq").cast("bigint").alias("score_num"),
+            (F.sum("wq").cast("double") / _N_BUCKETS).alias("score"),
+            (F.sum("wq") > 0).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Per-source caps
+# ---------------------------------------------------------------------
+
+_CAP = 15
+
+_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM documents)
+SELECT doc_id, source, n_chars, rank
+FROM ranked WHERE rank <= {_CAP}
+"""
+
+
+@register(
+    "pipeline_per_source_cap",
+    oracle=_CAP_ORACLE,
+    tags=("pipeline", "sampling", "curation"),
+)
+def pipeline_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-domination cap: keep at most 15 documents per source,
+    preferring longer ones (ties to the smaller doc_id) — the standard
+    guard against one crawl domain flooding the training mix. One
+    window on source; at 100 TB a skewed mega-source concentrates its
+    partition, so the production variant pre-filters with an
+    approximate per-source count-min cutoff before the exact window —
+    same output, bounded partition. The exact form is registered
+    because it is the correctness contract."""
+    d = t(spark, sf_dir, "documents")
+    win = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rank") <= _CAP)
+        .select("doc_id", "source", "n_chars", "rank")
+    )
+
+
+# ---------------------------------------------------------------------
+# Duplicated-ngram density
+# ---------------------------------------------------------------------
+
+_NG = 5
+
+_DUP_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - {_NG} + 2),
+                i -> list_aggregate(list_slice(ws, i, i + {_NG} - 1),
+                                    'string_agg', ' '))) AS g
+  FROM tok WHERE len(ws) >= {_NG}),
+df AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_frac
+FROM grams JOIN df USING (g)
+GROUP BY grams.doc_id
+"""
+
+
+@register(
+    "text_duplicated_ngram_fraction",
+    oracle=_DUP_ORACLE,
+    tags=("text", "dedup", "quality"),
+)
+def text_duplicated_ngram_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document fraction of 5-gram occurrences that also appear in
+    at least one OTHER document — the boilerplate/template-density
+    signal used to score near-duplicated content without materializing
+    pairs (Lee et al. 2022 measure duplication exactly this way). Two
+    combinable groupBys and one equi-join, all keyed on the gram hash;
+    memorably NOT a pairwise operator — cost is O(corpus tokens), not
+    O(n^2), which is why it runs where pair-level dedup is too
+    expensive. Docs shorter than 5 tokens have no grams and drop out
+    (same in the oracle)."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    arr = F.split(F.trim(F.lower("text")), r"\s+")
+    grams_arr = F.transform(
+        F.sequence(F.lit(0), F.size(arr) - _NG),
+        lambda i: F.concat_ws(" ", F.slice(arr, i + 1, F.lit(_NG))),
+    )
+    grams = d.filter(F.size(arr) >= _NG).select(
+        "doc_id",
+        F.explode(grams_arr).alias("g_str"),
+    # join/aggregate on the 60-bit gram hash, not the string: shuffles
+    # int64 keys (collision odds negligible and identical in intent —
+    # the oracle joins strings; values agree because the hash is
+    # injective on this corpus' gram set)
+    ).select("doc_id", hash64_expr(F.col("g_str")).alias("g"))
+    df_counts = grams.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        grams.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(dup).cast("bigint").alias("n_dup"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias(
+                "dup_frac"
+            ),
+        )
+    )
