@@ -10,7 +10,7 @@ split key (FIXTURES.md §F6 binding).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import register, t
@@ -448,4 +448,40 @@ def verify_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bad_status",
         "fk_violations",
         ok.alias("all_pass"),
+    )
+
+
+@register(
+    "events_scd2_history",
+    oracle="""
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM events
+    """,
+    tags=("archiver", "scd2", "cdc"),
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each event opens a
+    validity interval [valid_from, valid_to) that the user's next
+    event closes; the open interval is the current state. The history
+    twin of ``events_latest_snapshot`` — together they are the CDC
+    materialization pair a warehouse keeps over an archived event
+    stream (the reference only ever appends, cmd/main.go; the
+    snapshot/history views are what consumers build on top). One
+    window on user_id — the same single exchange the snapshot uses,
+    so at 100 TB the pair shares a partitioning."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )

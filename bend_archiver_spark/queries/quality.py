@@ -201,3 +201,58 @@ def text_duplicated_ngram_fraction(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# BPE-ish regex token counting
+# ---------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer, simplified to the RE2-compatible subset
+# (no lookahead) so Spark (Java regex) and DuckDB (RE2) tokenize
+# byte-identically: contraction suffixes, space-prefixed word/number
+# runs, punctuation runs.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text),
+            '{_BPE_PAT.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+            AS BIGINT) AS n_ws_tokens,
+       CAST(n_chars AS DOUBLE)
+         / len(regexp_extract_all(lower(text),
+               '{_BPE_PAT.replace("'", "''")}')) AS chars_per_token
+FROM documents
+"""
+
+
+@register(
+    "text_bpe_regex_tokens",
+    oracle=_BPE_ORACLE,
+    tags=("text", "tokenization"),
+)
+def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer regex (the GPT-2
+    split rule minus lookahead, identical under Java regex and RE2)
+    next to the whitespace count — the pair every token-budget
+    estimator needs (whitespace undercounts punctuation-heavy text;
+    chars-per-token is the compression-ratio quality signal). Map-only:
+    both counts come from one projection over the scan, no shuffle at
+    all — the cheapest full-corpus pass there is."""
+    d = t(spark, sf_dir, "documents")
+    # embed the pattern in a double-quoted SQL literal: no quote
+    # doubling there (that is single-quoted-literal syntax)
+    bpe = (
+        'regexp_extract_all(lower(text), "'
+        + _BPE_PAT.replace("\\", "\\\\")
+        + '", 0)'
+    )
+    ws = r"split(trim(lower(text)), '\\s+')"
+    return d.select(
+        "doc_id",
+        F.expr(f"size({bpe})").cast("bigint").alias("n_bpe_tokens"),
+        F.expr(f"size({ws})").cast("bigint").alias("n_ws_tokens"),
+        (F.col("n_chars").cast("double") / F.expr(f"size({bpe})")).alias(
+            "chars_per_token"
+        ),
+    )

@@ -229,7 +229,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: MLlib KMeans codebook (16 cells) -> queries probe their
     2 nearest cells -> exact cosine rerank top-5. The data-adaptive
     alternative to hyperplane LSH; see operators/ivf.py for the
-    recall/cost model."""
+    recall/cost model.
+
+    DEMO-ONLY correctness status: kept rows-only by design because the
+    KMeans training stage is not cross-engine reproducible. The full
+    IVF search path is hash-checked end-to-end by
+    ``ann_ivf_fixed_codebook`` (identical plan shape, fixed codebook)
+    and the PQ path by ``ann_pq_adc_topk`` — those are the correctness
+    contracts; this query demonstrates the trained-codebook variant."""
     from ..operators.ivf import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
