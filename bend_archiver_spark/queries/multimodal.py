@@ -158,3 +158,116 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frame_bytes"),
         )
     )
+
+
+_FEAT_DIM = 8
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feat_idx", T.IntegerType()),
+        T.StructField("feat_q", T.LongType()),
+    ]
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'feature extraction' over binary payloads.
+
+    STUB: a real implementation would run an image/audio encoder here
+    (CLIP/whisper embedding of the decoded media); this container has
+    no media libraries, so each of the 8 'features' is derived from
+    the md5 of (payload bytes + feature index) — deterministic, so the
+    WHOLE mapInPandas pipeline is hash-checkable against a SQL oracle
+    (unlike a real codec). The Spark-side contract — binary in, Arrow
+    batches through Python, (id, idx, value) feature rows out — is the
+    real one."""
+    import hashlib
+
+    for pdf in batches:
+        ids, idxs, vals = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            for k in range(_FEAT_DIM):
+                h = hashlib.md5(data + b"_" + str(k).encode()).hexdigest()
+                ids.append(doc_id)
+                idxs.append(k)
+                vals.append(int(h[:15], 16) % 100_000)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "feat_idx": pd.Series(idxs, dtype="int32"),
+                "feat_q": pd.Series(vals, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_feature_stub",
+    oracle=f"""
+    WITH k AS (SELECT unnest(range(0, {_FEAT_DIM})) AS feat_idx)
+    SELECT doc_id,
+           CAST(feat_idx AS INTEGER) AS feat_idx,
+           ('0x' || substr(md5(text || '_' || CAST(feat_idx AS VARCHAR)),
+                           1, 15))::BIGINT % 100000 AS feat_q
+    FROM documents, k
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the Arrow/Python boundary with an
+    EXACT oracle: payload bytes -> mapInPandas -> (doc_id, feat_idx,
+    feat_q) rows, where the stub 'encoder' is md5-derived and thus
+    bit-reproducible in SQL. This pins the full Pandas-UDF data path
+    (binary transfer, batch iteration, typed output) with a hash
+    check — the companion to multimodal_decode_stub, whose realistic
+    codec shape keeps it rows-only. Python is the declared slow path
+    here; the quarantine plan test proves nothing else crosses it."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(_feature_batches, schema=_FEAT_SCHEMA)
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text || '_w'), 1, 15))::BIGINT % 4096 + 1
+               AS src_w,
+             ('0x' || substr(md5(text || '_h'), 1, 15))::BIGINT % 4096 + 1
+               AS src_h
+      FROM documents)
+    SELECT doc_id, src_w, src_h,
+           greatest(src_w * 224 // greatest(src_w, src_h), 1) AS out_w,
+           greatest(src_h * 224 // greatest(src_w, src_h), 1) AS out_h,
+           (greatest(src_w, src_h) <= 224) AS no_upscale_needed
+    FROM dims
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for an image column: target dimensions for a
+    max-side-224 thumbnail, aspect ratio preserved, pure integer math
+    (src dims are md5-derived stand-ins for decoded header values —
+    the decode itself is the stubbed codec). This is the metadata
+    pass that precedes a distributed pixel resize: map-only, no
+    shuffle, and the actual resample would slot into the decode
+    pipeline's mapInPandas. At 100 TB the plan/filter step avoids
+    shipping already-small media through the Python boundary at
+    all."""
+    from .base import hash64_expr
+
+    d = t(spark, sf_dir, "documents")
+    src_w = (hash64_expr(F.concat(F.col("text"), F.lit("_w"))) % 4096 + 1).alias("src_w")
+    src_h = (hash64_expr(F.concat(F.col("text"), F.lit("_h"))) % 4096 + 1).alias("src_h")
+    dims = d.select("doc_id", src_w, src_h)
+    m = F.greatest("src_w", "src_h")
+    return dims.select(
+        "doc_id",
+        "src_w",
+        "src_h",
+        F.greatest((F.col("src_w") * 224 / m).cast("bigint"), F.lit(1).cast("bigint")).alias("out_w"),
+        F.greatest((F.col("src_h") * 224 / m).cast("bigint"), F.lit(1).cast("bigint")).alias("out_h"),
+        (m <= 224).alias("no_upscale_needed"),
+    )

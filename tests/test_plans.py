@@ -278,10 +278,12 @@ class TestRetrievalPlans:
 
 class TestNoPythonInHotPath:
     # the only queries allowed to evaluate Python: the Arrow-batched
-    # multimodal decode pipeline and the two deliberate UDxF-surface
-    # demonstrations (functions/udxf.py — slow path by design)
+    # multimodal decode/feature pipelines and the deliberate
+    # UDxF-surface demonstrations (functions/udxf.py — slow path by
+    # design)
     PYTHON_ALLOWED = {
         "multimodal_decode_stub",
+        "multimodal_feature_stub",
         "udtf_token_stats",
         "udaf_weighted_discount",
         "grouped_map_minmax_norm",
