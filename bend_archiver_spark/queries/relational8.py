@@ -268,3 +268,45 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@register(
+    "window_first_last_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderdate) OVER w AS first_order_date,
+           last_value(o_orderdate) OVER w_full AS latest_order_date,
+           nth_value(o_totalprice, 2) OVER w_full AS second_order_price,
+           CAST(row_number() OVER w AS BIGINT) AS order_seq
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("relational", "window"),
+)
+def window_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value window frames over each
+    customer's order history: first and latest order dates, the
+    second order's price (NULL for single-order customers), and the
+    per-customer sequence number. last_value/nth_value take an
+    explicit unbounded frame — with the default frame (unbounded
+    preceding .. current row, same in both engines) last_value is just
+    the current row, the classic window-frame trap. One shuffle on
+    o_custkey shared by both frames."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderdate").over(w).alias("first_order_date"),
+        F.last("o_orderdate").over(w_full).alias("latest_order_date"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias(
+            "second_order_price"
+        ),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+    )
