@@ -644,3 +644,40 @@ def math_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("o_totalprice") - 100000).alias("dist_100k"),
         (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod7"),
     )
+
+
+@register(
+    "variant_extract_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+             AS k_str,
+           (json_extract(props, '$.missing') IS NULL) AS missing_is_null,
+           (CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0) AS k_even
+    FROM events
+    """,
+    tags=("relational", "json", "variant"),
+)
+def variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data through Spark 4's native VariantType —
+    the engine-level analog of the Databend variant columns the
+    reference passes through opaquely (disableVariantCheck,
+    config/config.go:63): ``parse_json`` once into the binary variant
+    encoding, then typed ``variant_get`` extractions (bigint, string,
+    a missing path yielding NULL). Unlike get_json_object
+    (json_funcs_events), the variant parse happens once per row and
+    every extraction reads the binary form — the right shape when many
+    fields are pulled from the same payload at 100 TB."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        k.cast("string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "bigint").isNull().alias(
+            "missing_is_null"
+        ),
+        (k % 2 == 0).alias("k_even"),
+    )
