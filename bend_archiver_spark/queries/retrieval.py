@@ -120,7 +120,16 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    # dl and tf are each consumed by multiple downstream branches
+    # (corpus stats, broadcast joins, dfreq) — persist them so the
+    # full-corpus token explode runs ONCE per chain instead of once
+    # per branch (measured 12.6s -> ~4s at sf0.1; both tables are
+    # orders smaller than the corpus: one row per doc / per posting)
+    dl = (
+        tok.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("dl"))
+        .persist()
+    )
     corpus = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_len"),
@@ -132,6 +141,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(F.broadcast(qterms), "token")
         .groupBy("doc_id", "token")
         .agg(F.count("*").cast("bigint").alias("tf"))
+        .persist()
     )
     dfreq = tf.groupBy("token").agg(
         F.count_distinct("doc_id").cast("bigint").alias("df")
