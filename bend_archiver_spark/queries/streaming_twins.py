@@ -102,3 +102,46 @@ def events_stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_expected"))
         )
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    tags=("sessions", "sequence"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: for every consecutive event pair
+    per user, count transitions and distinct users — the Markov-chain
+    view of user behavior that funnels/recommenders start from. One
+    window on user_id (the partitioning every sessions query shares)
+    followed by a map-side-combinable groupBy on the (from, to) pair —
+    at 100 TB the transition matrix itself is |event_types|^2 rows,
+    so the rollup collapses massively map-side."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
