@@ -1,0 +1,75 @@
+"""Registry-level invariants — fast checks that need no SparkSession.
+
+These guard the driver contract itself: every oracle must be SQL
+DuckDB can plan (a typo here silently turns a hash check into a driver
+error row), and the never-checked-first emission tier must stay inside
+the driver's per-round row cap (an overflow silently starves the
+overflow queries of correctness rows — the round-3 failure mode).
+"""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from bend_archiver_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# the r03 driver checked 50 rows; leave headroom for mid-round
+# registry growth
+EMISSION_CAP = 50
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return c
+
+
+def test_every_oracle_plans_in_duckdb(con):
+    """EXPLAIN (not execute — cheap) every oracle; a parse/bind error
+    names the query."""
+    bad = {}
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        try:
+            con.execute(f"EXPLAIN {spec.oracle}")
+        except Exception as exc:  # noqa: BLE001 — collecting all failures
+            bad[name] = str(exc).splitlines()[0]
+    assert not bad, f"oracles that DuckDB cannot plan: {bad}"
+
+
+def test_rows_only_queries_are_the_declared_two():
+    no_oracle = {n for n, s in REGISTRY.items() if s.oracle is None}
+    assert no_oracle == {"ann_ivf_topk", "multimodal_decode_stub"}
+
+
+def test_emission_tier_one_fits_driver_cap():
+    names = list(entry.queries())
+    tier1 = [n for n in names if n not in entry._CHECKED_GOOD]
+    assert len(tier1) <= EMISSION_CAP, (
+        f"{len(tier1)} unchecked queries exceed the ~{EMISSION_CAP}-row "
+        "driver cap — fold the latest CORRECTNESS greens into "
+        "_CHECKED_GOOD (see __spark_entry__) or the overflow never gets "
+        "a correctness row"
+    )
+    # and tier 1 must lead the emission order
+    assert names[: len(tier1)] == tier1
+
+
+def test_headline_queries_registered_and_oracled():
+    """bench.py times every headline query; each needs an oracle so the
+    perf suite stays inside the correctness gate too."""
+    headline = [n for n, s in REGISTRY.items() if s.headline]
+    assert len(headline) >= 10
+    for n in headline:
+        assert REGISTRY[n].oracle is not None, n
