@@ -81,9 +81,11 @@ _CHECKED_GOOD = _GREEN_R01 | _GREEN_R03 | _ROWS_ONLY_BY_DESIGN
 
 def _ordered_names() -> list[str]:
     """Emission order for a possibly-capped correctness pass:
-    (1) queries with no green driver row yet — the 30 never-checked
-    plus the 2 r03-failing (sessionize_events,
-    funnel_signup_to_purchase) — then (2) everything already green."""
+    (1) queries with no green driver row yet — at the r03 snapshot
+    that was 30 never-checked + the 2 r03-failing; round-4 additions
+    land here too (tier 1 is registry minus _CHECKED_GOOD, currently
+    46 — tests/test_registry.py pins it under the ~50-row cap) — then
+    (2) everything already green."""
     names = list(REGISTRY.keys())
     tier1 = [n for n in names if n not in _CHECKED_GOOD]
     tier2 = [n for n in names if n in _CHECKED_GOOD]

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..queries.base import hash64_expr
+from ..queries.base import fanout, hash64_expr
 
 __all__ = [
     "exact_dedup",
@@ -62,8 +62,7 @@ def shingle(
     the most expensive per-row work in the pipeline — serializes on a
     single core (measured 10x slowdown). The repartition shuffles only
     the compact pre-explode rows."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(parallelism)
+    df = fanout(df)
     arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     sz = F.size(arr)
     shingles = F.when(
@@ -146,7 +145,11 @@ def minhash_lsh_dedup(
     hash work, measured 3-5x wall-clock at sf0.1. The persist is
     MEMORY_AND_DISK and holds only (id, int64 array) — bounded by the
     corpus's shingle count, spilling rather than OOMing at scale; pass
-    False only for one-shot plans that are never reused.
+    False only for one-shot plans that are never reused. The cache is
+    not unpersisted here (the caller materializes the returned lazy
+    plan); long-lived sessions running many such queries should
+    ``spark.catalog.clearCache()`` between them, as bench.py does —
+    eviction is otherwise LRU within the storage pool.
     """
     perms = perms or DEFAULT_PERMS
     rows_per_band = len(perms) // n_bands
@@ -159,8 +162,7 @@ def minhash_lsh_dedup(
     # the oracle); the first exchange in the whole plan is the band
     # join. Arrays are bounded by document size, so per-row state is
     # fine at 100 TB (multi-MB docs -> thousands of shingles).
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    src = df.repartition(parallelism)
+    src = fanout(df)
     arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     sz = F.size(arr)
     sh = F.when(

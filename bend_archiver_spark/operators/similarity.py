@@ -23,6 +23,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..queries.base import fanout
+
 __all__ = [
     "explode_quantized",
     "quantized_vectors",
@@ -63,7 +65,7 @@ def quantized_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(vec_id, vq, nrm): quantized array + exact squared norm, fanned
     out to full parallelism (small single-file corpora otherwise
     serialize all vector math on one core)."""
-    out = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    out = fanout(df)
     out = out.select(
         F.col(id_col).alias("vec_id"), _q6_array(vec_col).alias("vq")
     )
@@ -75,7 +77,7 @@ def quantized_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 def explode_quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, i, xq): positional explode with quantized components — the
     row form used where per-dimension joins are genuinely needed."""
-    out = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    out = fanout(df)
     return out.select(
         F.col(id_col).alias("vec_id"), F.posexplode(vec_col).alias("i", "x")
     ).select(

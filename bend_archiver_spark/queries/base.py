@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 
-__all__ = ["QuerySpec", "REGISTRY", "register", "t", "dec_sum", "dec_avg", "hash64_expr", "HASH64_SQL"]
+__all__ = ["QuerySpec", "REGISTRY", "register", "t", "fanout", "dec_sum", "dec_avg", "hash64_expr", "HASH64_SQL"]
 
 
 @dataclass
@@ -57,6 +57,19 @@ def register(
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Shorthand table loader."""
     return load_table(spark, sf_dir, name)
+
+
+def fanout(df: DataFrame) -> DataFrame:
+    """Repartition to full parallelism ONLY when the input is
+    under-partitioned (small single-file corpora arrive as one
+    partition and per-row-expensive work — explode/hash — serializes
+    on one core; measured 10x). At scale the input already has many
+    partitions and the repartition would be a pointless full-corpus
+    shuffle, so it is skipped."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(parallelism, 8):
+        return df
+    return df.repartition(parallelism)
 
 
 def dec_sum(col: Column, alias: str) -> Column:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import QSCALE, explode_quantized
-from .base import register, t
+from .base import fanout, register, t
 
 _K = 8  # codebook size: centroids are the vectors with vec_id < _K
 
@@ -144,9 +144,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32 with measured loss. Entirely per-row math: min/max come
     from the array itself (no shuffle), the only exchange is the
     per-vector error rollup."""
-    emb = t(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    emb = fanout(t(spark, sf_dir, "embeddings"))
     v = emb.select(
         "vec_id",
         F.array_min("embedding").cast("double").alias("mn"),

@@ -66,9 +66,13 @@ FROM ranked WHERE rn = 1
 """
 
 
-def _encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, subspace, code, dist_q): nearest sub-centroid per
-    subspace by exact int64 squared L2, ties to the smaller code."""
+def _subspace_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, cid, dist): exact int64 squared L2 from every
+    vector's subspace slice to every sub-centroid — the shared front
+    end of encode and ADC search. Persisted: ADC consumes it through
+    two branches (codes + per-query LUT) and without the barrier the
+    explode + broadcast join + groupBy would run once per branch (the
+    same multi-consumer recompute fixed in minhash/BM25)."""
     emb = t(spark, sf_dir, "embeddings")
     e = explode_quantized(emb, "vec_id", "embedding").withColumn(
         "m", (F.col("i") / _SUB_DIM).cast("int")
@@ -77,11 +81,17 @@ def _encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), "i", F.col("xq").alias("cq")
     )
     diff = F.col("xq") - F.col("cq")
-    d2 = (
+    return (
         e.join(F.broadcast(cent), "i")
         .groupBy("vec_id", "m", "cid")
         .agg(F.sum(diff * diff).alias("dist"))
+        .persist()
     )
+
+
+def _encoded(d2: DataFrame) -> DataFrame:
+    """(vec_id, subspace, code, dist_q): nearest sub-centroid per
+    subspace by exact int64 squared L2, ties to the smaller code."""
     win = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
     return (
         d2.withColumn("rn", F.row_number().over(win))
@@ -108,7 +118,7 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion-vector stores fit in memory. One broadcast join + one
     combinable groupBy + one (vec_id, subspace) window; at 100 TB the
     window key is fine-grained enough to never concentrate."""
-    return _encoded(spark, sf_dir)
+    return _encoded(_subspace_distances(spark, sf_dir))
 
 
 _PQ_ADC_ORACLE = f"""
@@ -160,24 +170,9 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF-PQ search shape that serves billion-vector ANN, with no
     per-vector float math at query time. Ties rank to the smaller
     neighbor id; all arithmetic exact int64."""
-    emb = t(spark, sf_dir, "embeddings")
-    e = explode_quantized(emb, "vec_id", "embedding").withColumn(
-        "m", (F.col("i") / _SUB_DIM).cast("int")
-    )
-    cent = e.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cid"), "i", F.col("xq").alias("cq")
-    )
-    diff = F.col("xq") - F.col("cq")
-    d2 = (
-        e.join(F.broadcast(cent), "i")
-        .groupBy("vec_id", "m", "cid")
-        .agg(F.sum(diff * diff).alias("dist"))
-    )
-    win = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
-    codes = (
-        d2.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("cid").alias("code"))
+    d2 = _subspace_distances(spark, sf_dir)
+    codes = _encoded(d2).select(
+        "vec_id", F.col("subspace").alias("m"), "code"
     )
     lut = d2.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -5,8 +5,9 @@ document caps (anti-domination), and duplicated-ngram density (the
 boilerplate signal from Lee et al., "Deduplicating Training Data Makes
 Language Models Better", ACL 2022).
 
-All three are single-shuffle DataFrame pipelines with exact integer /
-dyadic-rational arithmetic so the DuckDB oracle hashes bit-identically.
+All scoring passes here reduce map-side and shuffle only compact keyed
+aggregates, with exact integer / dyadic-rational arithmetic so the
+DuckDB oracle hashes bit-identically.
 The reference has no text operators at all (SURVEY §2 Table B "String
 functions: host-language only") — this whole module is
 beyond-reference surface.
@@ -17,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .base import hash64_sql, hash64_expr, register, t
+from .base import fanout, hash64_sql, hash64_expr, register, t
 
 # ---------------------------------------------------------------------
 # Hashed-ngram linear quality classifier
@@ -59,10 +60,10 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     when a trained weight table is broadcast instead). Weights are
     integers (numerator over 1024) so the sum is exact and order-
     independent. One explode + one map-side-combinable groupBy on
-    doc_id — a single-pass, single-shuffle scan at any corpus size."""
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    doc_id; at scale the input's own partitioning carries the explode
+    (fanout only kicks in for under-partitioned local corpora), so the
+    groupBy is the only shuffle."""
+    d = fanout(t(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
@@ -170,9 +171,7 @@ def text_duplicated_ngram_fraction(
     O(n^2), which is why it runs where pair-level dedup is too
     expensive. Docs shorter than 5 tokens have no grams and drop out
     (same in the oracle)."""
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = fanout(t(spark, sf_dir, "documents"))
     arr = F.split(F.trim(F.lower("text")), r"\s+")
     grams_arr = F.transform(
         F.sequence(F.lit(0), F.size(arr) - _NG),

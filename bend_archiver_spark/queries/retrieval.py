@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .base import register, t
+from .base import fanout, register, t
 
 # Fixed query-term set for the BM25 oracle check (a real deployment
 # parameterizes this; a literal VALUES list keeps the oracle exact).
@@ -113,9 +113,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row broadcast; the top-k is TakeOrderedAndProject — no
     global sort, no cartesian, candidate set bounded by posting sizes.
     """
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = fanout(t(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
@@ -343,9 +341,7 @@ def text_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary rarity table against the token stream; the single-row
     corpus total is broadcast. No shuffle exceeds vocabulary size.
     """
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = fanout(t(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),

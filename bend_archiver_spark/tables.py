@@ -69,7 +69,13 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     timestamps to TimestampType rather than TIMESTAMP_NTZ.
 
     Runtime conf (not builder conf) because callers — notably the
-    correctness driver — hand us their own SparkSession."""
+    correctness driver — hand us their own SparkSession. The conf is
+    deliberately left set (not restored): schema inference happens at
+    DataFrame creation but type conversion consults the conf again at
+    scan time, and flipping it between the two would corrupt the read.
+    Callers that want NTZ elsewhere re-set it per-read; every column
+    this loader returns is additionally normalized by
+    :func:`_normalize_ntz`, which is conf-independent."""
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nano_cols = _nano_ts_columns(path)
     if not nano_cols:

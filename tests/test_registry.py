@@ -7,17 +7,13 @@ the driver's per-round row cap (an overflow silently starves the
 overflow queries of correctness rows — the round-3 failure mode).
 """
 
-import duckdb
 import pytest
 
 import __spark_entry__ as entry
 from bend_archiver_spark.queries import REGISTRY
+from tests.oracle_compare import duck_con
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 # the r03 driver checked 50 rows; leave headroom for mid-round
 # registry growth
@@ -26,12 +22,7 @@ EMISSION_CAP = 50
 
 @pytest.fixture(scope="module")
 def con():
-    c = duckdb.connect()
-    for t in TABLES:
-        c.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
-    return c
+    return duck_con(SF_DIR)
 
 
 def test_every_oracle_plans_in_duckdb(con):
