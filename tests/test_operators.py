@@ -316,3 +316,25 @@ class TestPrefixSum:
             for r in prefix_sum(df, ["k"], "v").collect()
         )
         assert got == [(1, 5, "a"), (2, 15, "b"), (3, 16, "c")]
+
+
+class TestFanout:
+    def test_under_partitioned_input_fans_out(self, spark, sf_dir):
+        from bend_archiver_spark.queries.base import fanout
+        from bend_archiver_spark.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")  # single small file
+        assert d.rdd.getNumPartitions() < 8
+        assert (
+            fanout(d).rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+
+    def test_well_partitioned_input_passes_through(self, spark, sf_dir):
+        from bend_archiver_spark.queries.base import fanout
+        from bend_archiver_spark.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents").repartition(16)
+        out = fanout(d)
+        # no extra exchange on top of the existing partitioning
+        assert out is d
