@@ -1,0 +1,100 @@
+"""CLI driver (cli.py, A38 parity) end-to-end: dry-run, archive +
+verify, idempotency-gate refusal, config error paths — the same rc
+contract as cmd/main.go (0 ok, 1 job/gate failure, 2 bad invocation).
+
+Runs main() in-process against the shared test session: get_spark is
+patched to return it and stop() is disarmed so the session-scoped
+fixture survives.
+"""
+
+import json
+
+import pytest
+
+from bend_archiver_spark import cli
+
+
+@pytest.fixture()
+def cli_spark(spark, monkeypatch):
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    return spark
+
+
+def _write_conf(tmp_path, target, **overrides):
+    conf = {
+        "sourceTable": "lineitem",
+        "sourceWhereCondition": "l_orderkey > 0",
+        "sourceSplitKey": "l_orderkey",
+        "batchSize": 40000,
+        "maxThread": 5,
+        "targetPath": str(target),
+        "targetFormat": "parquet",
+    }
+    conf.update(overrides)
+    path = tmp_path / "conf.json"
+    path.write_text(json.dumps(conf))
+    return str(path)
+
+
+class TestCliContract:
+    def test_dry_run_counts_only(self, cli_spark, sf_dir, tmp_path, capsys):
+        conf = _write_conf(tmp_path, tmp_path / "out")
+        rc = cli.main(
+            [
+                "--conf", conf,
+                "--source-path", f"{sf_dir}/lineitem.parquet",
+                "--dry-run",
+            ]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        payload = next(
+            json.loads(l) for l in out.splitlines() if l.startswith("{")
+        )
+        assert payload["dry_run"] is True
+        assert payload["matching_rows"] > 0
+        assert not (tmp_path / "out").exists()  # nothing written
+
+    def test_archive_verifies_then_gate_refuses_rerun(
+        self, cli_spark, sf_dir, tmp_path, capsys
+    ):
+        conf = _write_conf(tmp_path, tmp_path / "out")
+        args = ["--conf", conf, "--source-path", f"{sf_dir}/lineitem.parquet"]
+        rc = cli.main(args)
+        out = capsys.readouterr().out
+        assert rc == 0
+        report = next(
+            json.loads(l) for l in out.splitlines() if l.startswith("{")
+        )
+        assert report["verified"] is True
+        assert report["source_rows"] == report["target_rows"] > 0
+
+        # second run against the same target: idempotency gate (A32,
+        # cmd/main.go:74-82) must refuse with rc=1
+        rc2 = cli.main(args)
+        err = capsys.readouterr().err
+        assert rc2 == 1
+        assert "idempotency gate" in err
+
+    def test_missing_conf_is_usage_error(self, cli_spark, capsys):
+        assert cli.main([]) == 2
+        assert "--conf is required" in capsys.readouterr().err
+
+    def test_invalid_conf_is_usage_error(self, cli_spark, tmp_path, capsys):
+        bad = tmp_path / "bad.json"
+        bad.write_text("{not json")
+        assert cli.main(["--conf", str(bad)]) == 2
+        assert "invalid config" in capsys.readouterr().err
+
+    def test_conflicting_split_keys_rejected(
+        self, cli_spark, tmp_path, capsys
+    ):
+        conf = _write_conf(
+            tmp_path,
+            tmp_path / "out",
+            sourceSplitTimeKey="l_shipdate",
+            timeSplitUnit="day",
+        )
+        assert cli.main(["--conf", conf]) == 2
+        assert "invalid config" in capsys.readouterr().err
