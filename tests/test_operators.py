@@ -338,3 +338,46 @@ class TestFanout:
         out = fanout(d)
         # no extra exchange on top of the existing partitioning
         assert out is d
+
+
+class TestDedupInvariants:
+    def _docs(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "a completely different document about spark shuffles"),
+            (4, "the quick brown fox jumps over the lazy cat today"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_duplicate_found_with_unit_jaccard(self, spark):
+        from bend_archiver_spark.operators.dedup import minhash_lsh_dedup
+
+        pairs = minhash_lsh_dedup(
+            self._docs(spark), "doc_id", "text", threshold=0.5
+        ).collect()
+        by_pair = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+        assert by_pair[(1, 2)] == 1.0  # identical docs always collide
+        assert (1, 3) not in by_pair and (2, 3) not in by_pair
+
+    def test_minhash_deterministic_across_runs(self, spark):
+        from bend_archiver_spark.operators.dedup import minhash_lsh_dedup
+
+        runs = [
+            sorted(
+                (r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in minhash_lsh_dedup(
+                    self._docs(spark), "doc_id", "text", threshold=0.3
+                ).collect()
+            )
+            for _ in range(2)
+        ]
+        assert runs[0] == runs[1] and runs[0]
+
+    def test_exact_dedup_copy_counts_partition_rows(self, spark):
+        from bend_archiver_spark.operators.dedup import exact_dedup
+
+        d = self._docs(spark)
+        out = exact_dedup(d, "doc_id", "text").collect()
+        assert sum(r["n_copies"] for r in out) == d.count()
+        assert {r["keeper_doc"] for r in out} == {1, 3, 4}  # min id kept

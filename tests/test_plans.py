@@ -245,6 +245,32 @@ class TestQualityAndPQPlans:
         plan = plan_of(spark, sf_dir, "events_scd2_history")
         assert plan.count("Exchange") == 1
 
+    def test_interval_join_is_equi_join_with_range_filter(
+        self, spark, sf_dir
+    ):
+        """The stream-twin interval join must plan as one equi-join on
+        user_id (range bound as post-condition) — a nested-loop over
+        the time condition would be quadratic per key group."""
+        plan = plan_of(spark, sf_dir, "events_interval_join_batch")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Exchange") <= 2
+
+    def test_variant_and_resize_map_only(self, spark, sf_dir):
+        """Variant extraction and resize planning are pure projections
+        — zero exchanges, zero Python."""
+        for name in ("variant_extract_events", "multimodal_resize_plan"):
+            plan = plan_of(spark, sf_dir, name)
+            assert "Exchange" not in plan, name
+            assert "EvalPython" not in plan, name
+
+    def test_transition_matrix_two_exchanges(self, spark, sf_dir):
+        """Window on user_id + rollup on the (from, to) pair: exactly
+        two exchanges, with the rollup combining map-side."""
+        plan = plan_of(spark, sf_dir, "events_transition_matrix")
+        assert plan.count("Exchange") == 2
+        assert "partial_count" in plan
+
 
 class TestRetrievalPlans:
     def test_bm25_inverted_index_shape(self, spark, sf_dir):
