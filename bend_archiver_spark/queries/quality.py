@@ -177,13 +177,13 @@ def text_duplicated_ngram_fraction(
         F.sequence(F.lit(0), F.size(arr) - _NG),
         lambda i: F.concat_ws(" ", F.slice(arr, i + 1, F.lit(_NG))),
     )
-    grams = d.filter(F.size(arr) >= _NG).select(
-        "doc_id",
-        F.explode(grams_arr).alias("g_str"),
     # join/aggregate on the 60-bit gram hash, not the string: shuffles
     # int64 keys (collision odds negligible and identical in intent —
     # the oracle joins strings; values agree because the hash is
     # injective on this corpus' gram set)
+    grams = d.filter(F.size(arr) >= _NG).select(
+        "doc_id",
+        F.explode(grams_arr).alias("g_str"),
     ).select("doc_id", hash64_expr(F.col("g_str")).alias("g"))
     df_counts = grams.groupBy("g").agg(
         F.count_distinct("doc_id").alias("nd")
