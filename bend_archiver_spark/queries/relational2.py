@@ -361,9 +361,9 @@ def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer GROUP BY c_mktsegment
     )
     SELECT c_mktsegment, n,
-           sx / n AS mean_bal,
-           (sxx - sx * sx / n) / (n - 1) AS var_bal,
-           sqrt((sxx - sx * sx / n) / (n - 1)) AS std_bal
+           round(sx / n, 4) AS mean_bal,
+           round((sxx - sx * sx / n) / (n - 1), 4) AS var_bal,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS std_bal
     FROM s
     """,
     tags=("relational", "agg", "stats"),
@@ -372,7 +372,13 @@ def agg_stats_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance/stddev via exact decimal sum-of-squares — the
     deterministic re-expression of var_samp/stddev (whose single-pass
     float accumulation is partition-order-dependent and so not
-    cross-engine comparable)."""
+    cross-engine comparable).
+
+    The DECIMAL sums are bit-identical across engines, but casting a
+    wide decimal (sum-of-squares ~1e11 at sf0.1) to double differs by
+    1 ulp between Java BigDecimal and DuckDB's int128 scaling — ulp at
+    that magnitude is ~1.5e-5, i.e. ~5e-9 on the variance. The final
+    4-dp round absorbs it on both sides."""
     c = t(spark, sf_dir, "customer")
     bal = F.col("c_acctbal")
     s = c.groupBy("c_mktsegment").agg(
@@ -386,9 +392,9 @@ def agg_stats_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "c_mktsegment",
         "n",
-        (F.col("sx") / F.col("n")).alias("mean_bal"),
-        var.alias("var_bal"),
-        F.sqrt(var).alias("std_bal"),
+        F.round(F.col("sx") / F.col("n"), 4).alias("mean_bal"),
+        F.round(var, 4).alias("var_bal"),
+        F.round(F.sqrt(var), 4).alias("std_bal"),
     )
 
 
