@@ -228,26 +228,37 @@ def text_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates O(sum of block sizes squared / blocks), never a global
     cross product; at 100 TB the blocking key is the thing you tune
     (add more columns, or LSH over name shingles for fuzzier blocks).
-    Edit distance is integer-exact in both engines."""
-    p = t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type")
+    Edit distance is integer-exact in both engines.
+
+    Two result-preserving prunes keep the expensive DP off most pairs:
+    edit distance is >= the length difference, so an integer length
+    filter runs first; and Spark's thresholded ``levenshtein(a, b, k)``
+    abandons the DP as soon as the distance provably exceeds k
+    (returns -1), which for kept rows equals the exact distance."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_type", F.length("p_name").alias("len")
+    )
     a = p.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
+        F.col("len").alias("len_a"),
         F.col("p_type").alias("bk"),
     )
     b = p.select(
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
+        F.col("len").alias("len_b"),
         F.col("p_type").alias("bk"),
     )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 2)
     return (
         a.join(b, "bk")
         .filter(
             (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 2)
             & (F.col("name_a") != F.col("name_b"))
-            & (dist <= 2)
         )
+        .filter((dist >= 0) & (dist <= 2))
         .select(
             "key_a",
             "key_b",
