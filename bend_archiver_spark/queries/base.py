@@ -60,14 +60,31 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def fanout(df: DataFrame) -> DataFrame:
-    """Repartition to full parallelism ONLY when the input is
-    under-partitioned (small single-file corpora arrive as one
+    """Repartition to full parallelism ONLY when the input is an
+    under-partitioned scan (small single-file corpora arrive as one
     partition and per-row-expensive work — explode/hash — serializes
-    on one core; measured 10x). At scale the input already has many
-    partitions and the repartition would be a pointless full-corpus
-    shuffle, so it is skipped."""
+    on one core; measured 10x). At scale a raw scan already has more
+    splits than cores and this is a no-op.
+
+    Two guards make the probe safe and bounded:
+
+    - inputs whose plan already contains an exchange-producing node
+      (repartition/join/aggregate/window) are returned untouched —
+      their parallelism is AQE's job, and probing them with ``df.rdd``
+      would eagerly materialize shuffle stages under AQE (jobs running
+      at plan-construction time, then re-run on real execution);
+    - for pure scan chains (where ``df.rdd`` is free), anything below
+      full parallelism fans out — the shuffle moves only the compact
+      pre-explode rows.
+    """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(
+        marker in plan
+        for marker in ("Repartition", "Join", "Aggregate", "Window")
+    ):
+        return df
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min(parallelism, 8):
+    if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism)
 

@@ -66,13 +66,15 @@ FROM ranked WHERE rn = 1
 """
 
 
-def _subspace_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _subspace_distances(
+    spark: SparkSession, sf_dir: str, persist: bool = False
+) -> DataFrame:
     """(vec_id, m, cid, dist): exact int64 squared L2 from every
     vector's subspace slice to every sub-centroid — the shared front
-    end of encode and ADC search. Persisted: ADC consumes it through
-    two branches (codes + per-query LUT) and without the barrier the
-    explode + broadcast join + groupBy would run once per branch (the
-    same multi-consumer recompute fixed in minhash/BM25)."""
+    end of encode and ADC search. ``persist`` only when the caller
+    consumes it through multiple branches (ADC: codes + per-query
+    LUT); single-consumer encode skips the cache-write overhead (same
+    policy as minhash's persist_shingles)."""
     emb = t(spark, sf_dir, "embeddings")
     e = explode_quantized(emb, "vec_id", "embedding").withColumn(
         "m", (F.col("i") / _SUB_DIM).cast("int")
@@ -81,12 +83,12 @@ def _subspace_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), "i", F.col("xq").alias("cq")
     )
     diff = F.col("xq") - F.col("cq")
-    return (
+    d2 = (
         e.join(F.broadcast(cent), "i")
         .groupBy("vec_id", "m", "cid")
         .agg(F.sum(diff * diff).alias("dist"))
-        .persist()
     )
+    return d2.persist() if persist else d2
 
 
 def _encoded(d2: DataFrame) -> DataFrame:
@@ -170,7 +172,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF-PQ search shape that serves billion-vector ANN, with no
     per-vector float math at query time. Ties rank to the smaller
     neighbor id; all arithmetic exact int64."""
-    d2 = _subspace_distances(spark, sf_dir)
+    d2 = _subspace_distances(spark, sf_dir, persist=True)
     codes = _encoded(d2).select(
         "vec_id", F.col("subspace").alias("m"), "code"
     )

@@ -378,7 +378,11 @@ def agg_stats_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide decimal (sum-of-squares ~1e11 at sf0.1) to double differs by
     1 ulp between Java BigDecimal and DuckDB's int128 scaling — ulp at
     that magnitude is ~1.5e-5, i.e. ~5e-9 on the variance. The final
-    4-dp round absorbs it on both sides."""
+    4-dp round absorbs it on both sides. Residual risk, accepted: a
+    variance landing within ~5e-9 of an x.xxxx5 boundary could still
+    round apart (~1e-4 odds per group per dataset); fully eliminating
+    it would mean integer-only outputs, which the mean/var/std
+    contract of this query isn't worth distorting for."""
     c = t(spark, sf_dir, "customer")
     bal = F.col("c_acctbal")
     s = c.groupBy("c_mktsegment").agg(

@@ -12,7 +12,7 @@ join and the bounded-state dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import register, t
@@ -128,8 +128,6 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     followed by a map-side-combinable groupBy on the (from, to) pair —
     at 100 TB the transition matrix itself is |event_types|^2 rows,
     so the rollup collapses massively map-side."""
-    from pyspark.sql import Window
-
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
