@@ -113,6 +113,13 @@ def run(names: list[str] | None = None, sf_dir: str | None = None) -> bool:
             print(f"FAIL  {name}: spark error: {e}")
             ok = False
             continue
+        finally:
+            # queries persist intermediates (minhash signatures, BM25
+            # postings, PQ distances); drop them between queries so a
+            # 142-query sweep doesn't accumulate cached blocks and the
+            # per-query timings stay independent (same policy as
+            # bench.py)
+            spark.catalog.clearCache()
         t_spark = _time.monotonic() - t0
         if spec.oracle is None:
             print(f"rows-only  {name}: {len(spark_pdf)} rows  [spark {t_spark:.1f}s]")
