@@ -255,3 +255,51 @@ def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# Dataset card
+# ---------------------------------------------------------------------
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+           CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+')))
+                AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+             AS mean_chars
+    FROM documents
+    """,
+    tags=("pipeline", "profile", "dataset-card"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan dataset card: the corpus-level summary every dataset
+    release ships (doc/source counts, language inventory, token and
+    character totals, length range). Token counts come from the array
+    length of the whitespace split — no explode, so the whole card is
+    ONE map-side-combinable pass reducing to a single row; at 100 TB
+    this is the cheapest possible full-corpus statement (a scan and
+    one tiny final merge). Languages are collected distinct and
+    sorted so the scalar is deterministic under any partitioning."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.concat_ws(",", F.array_sort(F.collect_set("lang"))).alias("langs"),
+        F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_chars"),
+    )
