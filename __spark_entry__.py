@@ -72,23 +72,66 @@ _GREEN_R03 = frozenset({
     "udtf_token_stats",
 })
 
+# Queries with a driver-green CORRECTNESS_r04 row (hash_match true).
+# Note three names overlap _GREEN_R01 (scan_predicate,
+# agg_count_filtered, agg_minmax_key) — re-confirmed r04.
+_GREEN_R04 = frozenset({
+    "events_latest_snapshot", "zorder_bucket_stats",
+    "verify_quality_constraints", "events_scd2_history",
+    "variant_extract_events", "agg_approx_percentile_bounded",
+    "agg_corr_manual", "events_value_outliers", "orders_rfm_segmentation",
+    "tpch_q2_min_cost_supplier", "tpch_q11_important_parts",
+    "tpch_q20_excess_suppliers", "window_first_last_orders",
+    "sessionize_events", "funnel_signup_to_purchase",
+    "text_length_histogram", "text_fuzzy_match_parts", "text_topk_ngrams",
+    "embedding_kmeans_assign", "embedding_int8_quantize",
+    "ann_ivf_fixed_codebook", "multimodal_feature_stub",
+    "multimodal_resize_plan", "pipeline_temperature_mix",
+    "pipeline_reservoir_per_source", "pipeline_chunk_documents",
+    "pipeline_dedup_chunks", "udaf_weighted_discount",
+    "grouped_map_minmax_norm", "text_pii_redact_events",
+    "text_repetition_stats", "text_contamination_check",
+    "dedup_semantic_keep_one", "pipeline_stage_funnel", "text_bm25_search",
+    "dedup_bloom_prefilter", "text_surprisal_bits", "embedding_pq_encode",
+    "ann_pq_adc_topk", "text_quality_classifier", "pipeline_per_source_cap",
+    "text_duplicated_ngram_fraction", "text_bpe_regex_tokens",
+    "pipeline_dataset_card", "events_interval_join_batch",
+    "events_stream_dedup_batch", "events_transition_matrix",
+    "scan_predicate", "agg_count_filtered", "agg_minmax_key",
+})
+
 # Checked r03 with the weaker rows-only protocol — by design (no SQL
 # oracle); re-emitting them early would waste capped driver rows.
 _ROWS_ONLY_BY_DESIGN = frozenset({"ann_ivf_topk", "multimodal_decode_stub"})
 
-_CHECKED_GOOD = _GREEN_R01 | _GREEN_R03 | _ROWS_ONLY_BY_DESIGN
+_CHECKED_GOOD = _GREEN_R01 | _GREEN_R03 | _GREEN_R04 | _ROWS_ONLY_BY_DESIGN
+
+
+def _staleness_round(name: str) -> int:
+    """Most recent round with a green driver row for *name* (0 = never)."""
+    if name in _GREEN_R04:
+        return 4
+    if name in _GREEN_R03 or name in _ROWS_ONLY_BY_DESIGN:
+        return 3
+    if name in _GREEN_R01:
+        return 1
+    return 0
 
 
 def _ordered_names() -> list[str]:
     """Emission order for a possibly-capped correctness pass:
-    (1) queries with no green driver row yet — at the r03 snapshot
-    that was 30 never-checked + the 2 r03-failing; round-4 additions
-    land here too (tier 1 is registry minus _CHECKED_GOOD, currently
-    46 — tests/test_registry.py pins it under the ~50-row cap) — then
-    (2) everything already green."""
+    (1) queries with no green driver row yet (new/changed this round —
+    tests/test_registry.py pins the count under the ~50-row cap), then
+    (2) already-green queries, least-recently-checked first (r01-era
+    greens are 4 rounds stale; they lead so each driver pass
+    re-confirms the stalest ~50 instead of re-checking last round's
+    set). Ties keep registry order — stable and deterministic."""
     names = list(REGISTRY.keys())
     tier1 = [n for n in names if n not in _CHECKED_GOOD]
-    tier2 = [n for n in names if n in _CHECKED_GOOD]
+    tier2 = sorted(
+        (n for n in names if n in _CHECKED_GOOD),
+        key=lambda n: _staleness_round(n),
+    )
     return tier1 + tier2
 
 

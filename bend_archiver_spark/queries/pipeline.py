@@ -380,18 +380,25 @@ def pipeline_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
     runs and unchanged for surviving members when the corpus grows.
     Complements the fixed-*rate* samplers (pipeline_hash_sample,
     pipeline_stratified_sample): eval sets want fixed size, not fixed
-    rate. One exchange on the stratum key; the per-group heap keeps
-    memory at O(k)."""
-    from pyspark.sql import Window
+    rate.
+
+    Skew-safe shape: WindowExec sorts the whole group (no per-group
+    heap), so a dominating source would funnel through one task; the
+    two-phase salted top-k (operators/skew.py) bounds every sort to
+    ~1/16 of the hottest source, then takes the exact window over at
+    most 16*5 survivors per source. Same oracle."""
+    from ..operators.skew import salted_topk
 
     d = t(spark, sf_dir, "documents")
     rank_key = hash64_expr(F.concat(F.lit("rsv_"), F.col("doc_id")))
-    w = Window.partitionBy("source").orderBy(rank_key, F.col("doc_id"))
-    return (
-        d.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= 5)
-        .select("source", "doc_id", "rn")
-    )
+    return salted_topk(
+        d,
+        "source",
+        [rank_key, F.col("doc_id")],
+        5,
+        salt_expr=F.xxhash64(F.col("doc_id")),
+        rank_alias="rn",
+    ).select("source", "doc_id", "rn")
 
 
 _CHUNK_SIZE = 200

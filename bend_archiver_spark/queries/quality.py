@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.skew import salted_topk
 from .base import fanout, hash64_sql, hash64_expr, register, t
 
 # ---------------------------------------------------------------------
@@ -109,21 +110,23 @@ FROM ranked WHERE rank <= {_CAP}
 def pipeline_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-domination cap: keep at most 15 documents per source,
     preferring longer ones (ties to the smaller doc_id) — the standard
-    guard against one crawl domain flooding the training mix. One
-    window on source; at 100 TB a skewed mega-source concentrates its
-    partition, so the production variant pre-filters with an
-    approximate per-source count-min cutoff before the exact window —
-    same output, bounded partition. The exact form is registered
-    because it is the correctness contract."""
+    guard against one crawl domain flooding the training mix.
+
+    Skew-safe shape: two-phase salted top-k (operators/skew.py).
+    Phase 1 ranks within (source, salt16) so a dominating crawl source
+    spreads its sort over 16 tasks instead of one; phase 2 takes the
+    exact window over at most 16*15 survivors per source. Same result
+    and oracle as the single-window form for any salt (each true top-15
+    row has <15 rows ahead of it in its own salt bucket)."""
     d = t(spark, sf_dir, "documents")
-    win = Window.partitionBy("source").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
-    )
-    return (
-        d.withColumn("rank", F.row_number().over(win).cast("bigint"))
-        .filter(F.col("rank") <= _CAP)
-        .select("doc_id", "source", "n_chars", "rank")
-    )
+    return salted_topk(
+        d,
+        "source",
+        [F.desc("n_chars"), F.asc("doc_id")],
+        _CAP,
+        salt_expr=F.xxhash64(F.col("doc_id")),
+        rank_alias="rank",
+    ).select("doc_id", "source", "n_chars", "rank")
 
 
 # ---------------------------------------------------------------------

@@ -196,6 +196,28 @@ class TestNewOperatorPlans:
         plan = plan_of(spark, sf_dir, "events_latest_snapshot")
         assert plan.count("Exchange hashpartitioning") == 1
 
+    def test_per_source_topk_is_two_phase_salted(self, spark, sf_dir):
+        """Both per-source top-k queries must keep the two-phase salted
+        shape: a partial rank within (source, __salt) — its exchange
+        carries the salt column — bounds any one task's sort to
+        ~1/salt_buckets of the hottest source, and the exact final
+        window runs over at most k*salt_buckets rows per source. A
+        regression to the single-window form sorts a dominating crawl
+        source in one task at 100 TB."""
+        for name in ("pipeline_per_source_cap", "pipeline_reservoir_per_source"):
+            plan = plan_of(spark, sf_dir, name)
+            exchanges = [
+                ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln
+            ]
+            assert len(exchanges) == 2, (name, exchanges)
+            # top-down print: final (source-only) exchange first, the
+            # salted pre-rank exchange below it
+            assert "__salt" not in exchanges[0], name
+            assert "__salt" in exchanges[1], name
+            # rank-limit pushdown holds on both phases
+            assert plan.count("WindowGroupLimit") >= 2, name
+
     def test_multiset_ops_plan_as_signed_counts(self, spark, sf_dir):
         """exceptAll/intersectAll compile to aggregates of signed
         counts, not a join per duplicate row."""
