@@ -32,6 +32,48 @@ def force(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
 
 
+# Round-1 anchor (BENCH_r01.json, sf0.1, 32 cpus) — the self-relative
+# baseline BASELINE.md gates against (stay within 2x). The regression
+# gate below flags any headline query slower than 2x its anchor in the
+# JSON line so a perf regression fails loudly in the recorded artifact
+# instead of waiting for a human to diff BENCH_r0N files (the round-2/3
+# minhash regression survived two rounds that way). Queries added after
+# r01 have no anchor and are skipped.
+_R01_ANCHOR = {
+    "split_key_buckets": 0.432,
+    "split_time_buckets": 0.479,
+    "tpch_q1": 1.354,
+    "tpch_q3_topk": 0.8299,
+    "tpch_q5_region_revenue": 0.5909,
+    "tpch_q6_revenue": 0.2124,
+    "window_top_orders_per_customer": 0.3463,
+    "sessionize_events": 0.5177,
+    "text_token_stats": 0.2405,
+    "dedup_minhash_lsh": 3.5573,
+    "ann_topk_bruteforce": 0.5517,
+    "pipeline_curate_documents": 0.5253,
+    "archive_sync": 3.7274,
+}
+_REGRESSION_FACTOR = 2.0
+
+
+def find_regressions(timings: dict[str, float], sf: float) -> dict:
+    """Headline queries slower than 2x their r01 anchor. Empty dict =
+    gate green. Only meaningful at the anchor's own scale (sf0.1)."""
+    if sf != 0.1:
+        return {}
+    return {
+        name: {
+            "sec": timings[name],
+            "anchor_sec": _R01_ANCHOR[name],
+            "ratio": round(timings[name] / _R01_ANCHOR[name], 2),
+        }
+        for name in timings
+        if name in _R01_ANCHOR
+        and timings[name] > _REGRESSION_FACTOR * _R01_ANCHOR[name]
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -104,6 +146,7 @@ def main() -> None:
         shutil.rmtree(target, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
+    regressions = find_regressions(timings, sf)
     result = {
         "metric": "headline_suite_total",
         "value": total,
@@ -113,6 +156,9 @@ def main() -> None:
         # consumers MUST check this: when false, `value` sums only the
         # queries that ran, so it is NOT comparable round-over-round
         "complete": not errors,
+        # non-empty => a headline query is >2x its r01 anchor; treat
+        # like a failing test, not a footnote
+        "regressions": regressions,
     }
     if errors:
         result["errors"] = errors

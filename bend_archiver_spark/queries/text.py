@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import hash64_expr, hash64_sql, register, t
+from .base import fanout, hash64_expr, hash64_sql, register, t
 
 # A word-ish tokenizer shared by both engines: lowercase, trim,
 # split on whitespace. The BPE-ish variant matches word pieces +
@@ -230,40 +230,72 @@ def text_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (add more columns, or LSH over name shingles for fuzzier blocks).
     Edit distance is integer-exact in both engines.
 
-    Two result-preserving prunes keep the expensive DP off most pairs:
-    edit distance is >= the length difference, so an integer length
-    filter runs first; and Spark's thresholded ``levenshtein(a, b, k)``
-    abandons the DP as soon as the distance provably exceeds k
-    (returns -1), which for kept rows equals the exact distance."""
-    p = t(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_type", F.length("p_name").alias("len")
+    Candidate generation is **symmetric-delete (SymSpell) blocking**,
+    not block-pair enumeration: every name emits its <=2-deletion
+    variants (1 + L + L(L-1)/2 keys, ~80 for these short names), and
+    candidates are pairs sharing a (p_type, variant) key. Exactness:
+    take an optimal alignment with s substitutions, i insertions, d
+    deletions (s+i+d <= 2); deleting the substituted+deleted positions
+    from one name (s+d <= 2 deletions) and the substituted+inserted
+    positions from the other (s+i <= 2) reaches the same aligned
+    subsequence, so every true pair shares a variant. This makes the
+    candidate count O(near-duplicate pairs), independent of block
+    sizes — the coarse-block failure mode (p_type has only 6 values
+    here, so block-pair enumeration is ~n^2/6; a length-bucket second
+    dimension barely helps because these names span 7-12 chars) is
+    gone, and the thresholded ``levenshtein(a, b, 2)`` DP runs only on
+    deduplicated candidates. For long strings the explode factor L^2/2
+    is the knob to watch — segment-based (PassJoin-style) blocking
+    replaces it past ~100 chars."""
+    p = fanout(
+        t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type")
     )
-    a = p.select(
+    # all strings reachable by deleting 0, 1, or 2 characters
+    dels = F.expr(
+        """
+        array_distinct(concat(
+          array(p_name),
+          transform(sequence(1, length(p_name)), i ->
+            concat(substring(p_name, 1, i-1), substring(p_name, i+1, 100))),
+          flatten(transform(sequence(1, length(p_name)), i ->
+            case when i < length(p_name) then
+              transform(sequence(i+1, length(p_name)), j ->
+                concat(substring(p_name, 1, i-1),
+                       substring(p_name, i+1, j-i-1),
+                       substring(p_name, j+1, 100)))
+            else array() end))
+        ))
+        """
+    )
+    keyed = p.select(
+        "p_partkey", "p_name", "p_type", F.explode(dels).alias("v")
+    )
+    a = keyed.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
-        F.col("len").alias("len_a"),
-        F.col("p_type").alias("bk"),
+        "p_type",
+        "v",
     )
-    b = p.select(
+    b = keyed.select(
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
-        F.col("len").alias("len_b"),
-        F.col("p_type").alias("bk"),
+        "p_type",
+        "v",
     )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 2)
-    return (
-        a.join(b, "bk")
+    cand = (
+        a.join(b, ["p_type", "v"])
         .filter(
             (F.col("key_a") < F.col("key_b"))
-            & (F.abs(F.col("len_a") - F.col("len_b")) <= 2)
             & (F.col("name_a") != F.col("name_b"))
         )
-        .filter((dist >= 0) & (dist <= 2))
-        .select(
-            "key_a",
-            "key_b",
-            "name_a",
-            "name_b",
-            dist.cast("bigint").alias("edit_dist"),
-        )
+        # near pairs share many variants; dedup before the DP
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 2)
+    return cand.filter((dist >= 0) & (dist <= 2)).select(
+        "key_a",
+        "key_b",
+        "name_a",
+        "name_b",
+        dist.cast("bigint").alias("edit_dist"),
     )

@@ -1,0 +1,41 @@
+"""Bench regression gate — pure-Python checks, no SparkSession.
+
+The round-2/3 minhash regression survived two rounds because the only
+perf gate was a human diffing BENCH_r0N JSON files; bench.py now flags
+any headline query >2x its r01 anchor in the emitted JSON line. These
+tests pin that gate's semantics.
+"""
+
+import bench
+from bend_archiver_spark.queries import REGISTRY
+
+
+def test_gate_green_on_anchor_timings():
+    assert bench.find_regressions(dict(bench._R01_ANCHOR), 0.1) == {}
+
+
+def test_gate_flags_doubled_query():
+    timings = dict(bench._R01_ANCHOR)
+    timings["dedup_minhash_lsh"] = bench._R01_ANCHOR["dedup_minhash_lsh"] * 3
+    out = bench.find_regressions(timings, 0.1)
+    assert set(out) == {"dedup_minhash_lsh"}
+    assert out["dedup_minhash_lsh"]["ratio"] == 3.0
+    assert out["dedup_minhash_lsh"]["anchor_sec"] == bench._R01_ANCHOR[
+        "dedup_minhash_lsh"
+    ]
+
+
+def test_gate_ignores_unanchored_and_offscale():
+    # queries added after r01 have no anchor — never flagged
+    assert bench.find_regressions({"brand_new_query": 99.0}, 0.1) == {}
+    # anchors are sf0.1 wall-clock; other scales are incomparable
+    slow = {n: v * 10 for n, v in bench._R01_ANCHOR.items()}
+    assert bench.find_regressions(slow, 0.01) == {}
+
+
+def test_every_anchor_is_still_a_headline_query():
+    """An anchor naming a de-registered query would silently shrink the
+    gate's coverage."""
+    headline = {n for n, s in REGISTRY.items() if s.headline}
+    anchored = set(bench._R01_ANCHOR) - {"archive_sync"}  # pipeline, not a query
+    assert anchored <= headline, anchored - headline
