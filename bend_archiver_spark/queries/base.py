@@ -16,6 +16,9 @@ value hash with columns sorted by name), so:
 
 from __future__ import annotations
 
+import math
+import os
+import urllib.parse
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -59,32 +62,60 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _parse_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf string ("134217728b", "128m")."""
+    s = conf_val.strip().lower()
+    for suffix, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * mult
+    return int(s)
+
+
 def fanout(df: DataFrame) -> DataFrame:
     """Repartition to full parallelism ONLY when the input is an
-    under-partitioned scan (small single-file corpora arrive as one
-    partition and per-row-expensive work — explode/hash — serializes
-    on one core; measured 10x). At scale a raw scan already has more
-    splits than cores and this is a no-op.
+    under-partitioned file scan (small single-file corpora arrive as
+    one partition and per-row-expensive work — explode/hash —
+    serializes on one core; measured 10x). At scale a raw scan already
+    has more splits than cores and this is a no-op.
 
-    Two guards make the probe safe and bounded:
-
-    - inputs whose plan already contains an exchange-producing node
-      (repartition/join/aggregate/window) are returned untouched —
-      their parallelism is AQE's job, and probing them with ``df.rdd``
-      would eagerly materialize shuffle stages under AQE (jobs running
-      at plan-construction time, then re-run on real execution);
-    - for pure scan chains (where ``df.rdd`` is free), anything below
-      full parallelism fans out — the shuffle moves only the compact
-      pre-explode rows.
+    Intended for scan projections (every call site applies it directly
+    to a loaded table). The decision uses only public, job-free driver
+    APIs — ``df.inputFiles()`` plus a file-size estimate of scan
+    splits against ``spark.sql.files.maxPartitionBytes`` — never
+    ``df.rdd`` (eagerly materializes shuffle stages under AQE) or the
+    version-brittle ``_jdf`` plan probe. Non-file inputs (local
+    relations, views over streams) and remote storage schemes pass
+    through untouched: the former are trivial, and at the scale where
+    data lives on remote storage the split count covers the cores. An
+    input that was already explicitly repartitioned collapses with
+    this one (Catalyst's CollapseRepartition) into a single exchange.
     """
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if any(
-        marker in plan
-        for marker in ("Repartition", "Join", "Aggregate", "Window")
-    ):
+    spark = df.sparkSession
+    try:
+        files = df.inputFiles()
+    except Exception:
         return df
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
+    parallelism = spark.sparkContext.defaultParallelism
+    if not files or len(files) >= parallelism:
+        return df
+    paths = []
+    for uri in files:
+        if not uri.startswith("file:"):
+            return df
+        paths.append(urllib.parse.unquote(urllib.parse.urlparse(uri).path))
+    try:
+        max_bytes = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        splits = sum(
+            max(1, math.ceil(os.path.getsize(p) / max_bytes)) for p in paths
+        )
+    except (OSError, ValueError):
+        return df
+    if splits >= parallelism:
         return df
     return df.repartition(parallelism)
 

@@ -330,14 +330,29 @@ class TestFanout:
             == spark.sparkContext.defaultParallelism
         )
 
-    def test_well_partitioned_input_passes_through(self, spark, sf_dir):
+    def test_non_file_input_passes_through(self, spark):
+        from bend_archiver_spark.queries.base import fanout
+
+        d = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+        # local relations have no input files; fanout must not touch
+        # them (and must not probe df.rdd, which would run a job)
+        assert fanout(d) is d
+
+    def test_repartitioned_input_collapses_to_one_exchange(
+        self, spark, sf_dir
+    ):
         from bend_archiver_spark.queries.base import fanout
         from bend_archiver_spark.tables import load_table
 
         d = load_table(spark, sf_dir, "documents").repartition(16)
-        out = fanout(d)
-        # no extra exchange on top of the existing partitioning
-        assert out is d
+        plan = fanout(d)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        # CollapseRepartition merges fanout's repartition with the
+        # caller's: one exchange, never two stacked
+        assert plan.count("Exchange") <= 1
 
 
 class TestDedupInvariants:
