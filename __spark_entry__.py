@@ -100,9 +100,11 @@ _GREEN_R04 = frozenset({
     "scan_predicate", "agg_count_filtered", "agg_minmax_key",
 })
 
-# Checked r03 with the weaker rows-only protocol — by design (no SQL
-# oracle); re-emitting them early would waste capped driver rows.
-_ROWS_ONLY_BY_DESIGN = frozenset({"ann_ivf_topk", "multimodal_decode_stub"})
+# Round 5 gave the two formerly rows-only queries real SQL oracles
+# (deterministic-Lloyd IVF training; ASCII byte oracle for the decode
+# stub), and ann_ivf_topk's implementation changed — both drop out of
+# the checked set so they re-emit in tier 1 for a hash-checked row.
+_ROWS_ONLY_BY_DESIGN = frozenset()
 
 _CHECKED_GOOD = _GREEN_R01 | _GREEN_R03 | _GREEN_R04 | _ROWS_ONLY_BY_DESIGN
 

@@ -99,15 +99,42 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+# Oracle precondition: the synthetic corpus is pure ASCII (verified at
+# all three SFs: octet_length(encode(text)) == length(text) for every
+# row), so byte k of the UTF-8 payload == ascii(substr(text, k, 1))
+# and the byte checksum is a 64-char lateral sum. The Spark side is
+# byte-faithful for any input; only the SQL twin leans on ASCII.
+_DECODE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n FROM documents),
+cks AS (
+  SELECT b.doc_id, SUM(ascii(substr(b.text, g.i, 1))) AS cksum
+  FROM base b, (SELECT unnest(range(1, 65)) AS i) g
+  WHERE g.i <= b.n
+  GROUP BY b.doc_id)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN b.n > 0 THEN ascii(substr(b.text, 1, 1)) ELSE 0 END
+            + 1 AS INTEGER) AS fake_width,
+       CAST(CASE WHEN b.n > 1 THEN ascii(substr(b.text, 2, 1)) ELSE 0 END
+            + 1 AS INTEGER) AS fake_height,
+       CAST(COALESCE(c.cksum, 0) AS BIGINT) AS byte_checksum
+FROM base b LEFT JOIN cks c ON c.doc_id = b.doc_id
+"""
+
+
 @register(
     "multimodal_decode_stub",
-    oracle=None,  # mapInPandas pipeline — rows-only check by design
+    oracle=_DECODE_ORACLE,
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode/feature-extract pipeline: binary payload ->
     mapInPandas (Arrow batches) -> typed feature rows. Deterministic
-    stub codec (see _decode_batches); ordering-independent output."""
+    stub codec (see _decode_batches); ordering-independent output, so
+    the whole Arrow/Python path is hash-checked against a SQL twin
+    (like multimodal_feature_stub; the oracle leans on the corpus
+    being ASCII — see _DECODE_ORACLE note)."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )

@@ -219,28 +219,147 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_CELLS = 16
+_N_PROBE = 2
+
+# One deterministic Lloyd iteration: init centroids = vectors with
+# vec_id < 16; assign (exact int64 distance, ties to smaller cid);
+# update = per-component rounded-integer mean (round of an exact-int
+# sum divided as double — both engines' round() is half-away-from-zero
+# and the IEEE quotient is identical); re-assign + probe under the
+# updated codebook; exact cosine rerank.
+_IVF_TRAINED_ORACLE = f"""
+WITH e AS ({_E_SQL}),
+norms AS ({_NORMS_SQL}),
+cent0 AS (SELECT vec_id AS cid, i, xq AS cq FROM e WHERE vec_id < {_N_CELLS}),
+d2a AS (
+  SELECT v.vec_id, c.cid,
+         SUM((v.xq - c.cq) * (v.xq - c.cq)) AS dist
+  FROM e v JOIN cent0 c ON c.i = v.i
+  GROUP BY 1, 2),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2a) WHERE rn = 1),
+cent1 AS (
+  SELECT a0.cid, e.i,
+         CAST(round(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+  FROM a0 JOIN e ON e.vec_id = a0.vec_id
+  GROUP BY a0.cid, e.i),
+d2b AS (
+  SELECT v.vec_id, c.cid,
+         SUM((v.xq - c.cq) * (v.xq - c.cq)) AS dist
+  FROM e v JOIN cent1 c ON c.i = v.i
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d2b),
+assigned AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM ranked
+  WHERE vec_id < {_N_QUERIES} AND rn <= {_N_PROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id, SUM(a.xq * b.xq) AS dot
+  FROM cand cd
+  JOIN e a ON a.vec_id = cd.query_id
+  JOIN e b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+  GROUP BY 1, 2),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_COSINE_SQL} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY {_COSINE_SQL} DESC, neighbor_id
+         ) AS rank
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, rank, cosine
+FROM scored WHERE rank <= {_TOP_K}
+"""
+
+
 @register(
     "ann_ivf_topk",
-    oracle=None,  # KMeans training is not cross-engine reproducible —
-    # rows-only check (output cardinality is structurally |Q| * k)
+    oracle=_IVF_TRAINED_ORACLE,
     tags=("similarity", "ann", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: MLlib KMeans codebook (16 cells) -> queries probe their
-    2 nearest cells -> exact cosine rerank top-5. The data-adaptive
-    alternative to hyperplane LSH; see operators/ivf.py for the
-    recall/cost model.
+    """IVF ANN with a TRAINED codebook: one deterministic Lloyd
+    iteration (init = vectors with vec_id < 16, exact int64 E-step,
+    M-step centroids re-quantized to rounded-integer component means),
+    then queries probe their 2 nearest updated cells and candidates
+    are exactly cosine-reranked to top-5. The data-adaptive
+    alternative to hyperplane LSH.
 
-    DEMO-ONLY correctness status: kept rows-only by design because the
-    KMeans training stage is not cross-engine reproducible. The full
-    IVF search path is hash-checked end-to-end by
-    ``ann_ivf_fixed_codebook`` (identical plan shape, fixed codebook)
-    and the PQ path by ``ann_pq_adc_topk`` — those are the correctness
-    contracts; this query demonstrates the trained-codebook variant."""
-    from ..operators.ivf import ivf_topk
-
+    Deterministic training makes this fully hash-checkable against the
+    SQL oracle (it was rows-only while it used MLlib KMeans, whose
+    kmeans|| init is not cross-engine reproducible — that variant
+    remains available as operators/ivf.py for users who want many
+    iterations and sampled training). Integer-mean centroids lose
+    <1e-6 precision per component — far below cosine resolution — and
+    keep every distance exact int64. Scale shape is unchanged from
+    ann_ivf_fixed_codebook: broadcast codebook both passes, combinable
+    groupBys, candidates shuffled only on probed cells."""
     emb = t(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, "vec_id", "embedding", F.col("vec_id") < _N_QUERIES,
-        k=_TOP_K, n_cells=16, n_probe=2,
+    # persist barrier: the quantized explode has five consumers here
+    # (init filter, both E-step joins, the M-step join, and the rerank
+    # dots); without it CollapseProject re-inlines the round/cast HOF
+    # into each consumer (the minhash round-2 regression shape)
+    e = ops.explode_quantized(emb, "vec_id", "embedding").persist()
+    cent0 = e.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cid"), "i", F.col("xq").alias("cq")
+    )
+    diff = F.col("xq") - F.col("cq")
+    d2a = (
+        e.join(F.broadcast(cent0), "i")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    a0 = (
+        d2a.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    cent1 = (
+        a0.join(e, "vec_id")
+        .groupBy("cid", "i")
+        .agg(
+            F.round(F.sum("xq").cast("double") / F.count(F.lit(1)), 0)
+            .cast("bigint")
+            .alias("cq")
+        )
+    )
+    d2b = (
+        e.join(F.broadcast(cent1), "i")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    ranked = d2b.withColumn("rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return ops.cosine_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        F.col("vec_id") < _N_QUERIES,
+        k=_TOP_K,
+        candidates=cand,
     )

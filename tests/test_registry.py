@@ -39,9 +39,13 @@ def test_every_oracle_plans_in_duckdb(con):
     assert not bad, f"oracles that DuckDB cannot plan: {bad}"
 
 
-def test_rows_only_queries_are_the_declared_two():
+def test_every_query_has_an_oracle():
+    """Round 5 closed the last two rows-only gaps (deterministic-Lloyd
+    IVF training; ASCII byte oracle for the decode stub) — every
+    registry query is now hash-checkable. A new None oracle needs an
+    explicit design reason, not a silent omission."""
     no_oracle = {n for n, s in REGISTRY.items() if s.oracle is None}
-    assert no_oracle == {"ann_ivf_topk", "multimodal_decode_stub"}
+    assert no_oracle == set()
 
 
 def test_emission_tier_one_fits_driver_cap():
