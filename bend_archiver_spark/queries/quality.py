@@ -222,8 +222,8 @@ SELECT doc_id,
        CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
             AS BIGINT) AS n_ws_tokens,
        CAST(n_chars AS DOUBLE)
-         / len(regexp_extract_all(lower(text),
-               '{_BPE_PAT.replace("'", "''")}')) AS chars_per_token
+         / nullif(len(regexp_extract_all(lower(text),
+                  '{_BPE_PAT.replace("'", "''")}')), 0) AS chars_per_token
 FROM documents
 """
 
@@ -240,7 +240,10 @@ def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator needs (whitespace undercounts punctuation-heavy text;
     chars-per-token is the compression-ratio quality signal). Map-only:
     both counts come from one projection over the scan, no shuffle at
-    all — the cheapest full-corpus pass there is."""
+    all — the cheapest full-corpus pass there is. chars_per_token is
+    NULL (nullif-guarded on BOTH sides) for empty/whitespace-only
+    documents — Spark's x/0 yields NULL but DuckDB's yields inf, so
+    the guard is what keeps the engines agreeing on such rows."""
     d = t(spark, sf_dir, "documents")
     # embed the pattern in a double-quoted SQL literal: no quote
     # doubling there (that is single-quoted-literal syntax)
@@ -254,9 +257,10 @@ def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"size({bpe})").cast("bigint").alias("n_bpe_tokens"),
         F.expr(f"size({ws})").cast("bigint").alias("n_ws_tokens"),
-        (F.col("n_chars").cast("double") / F.expr(f"size({bpe})")).alias(
-            "chars_per_token"
-        ),
+        (
+            F.col("n_chars").cast("double")
+            / F.nullif(F.expr(f"size({bpe})"), F.lit(0))
+        ).alias("chars_per_token"),
     )
 
 
