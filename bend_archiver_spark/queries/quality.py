@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.sketch import sketch_gated_topk
 from ..operators.skew import salted_topk
 from .base import fanout, hash64_sql, hash64_expr, register, t
 
@@ -120,6 +121,39 @@ def pipeline_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     row has <15 rows ahead of it in its own salt bucket)."""
     d = t(spark, sf_dir, "documents")
     return salted_topk(
+        d,
+        "source",
+        [F.desc("n_chars"), F.asc("doc_id")],
+        _CAP,
+        salt_expr=F.xxhash64(F.col("doc_id")),
+        rank_alias="rank",
+    ).select("doc_id", "source", "n_chars", "rank")
+
+
+@register(
+    "pipeline_per_source_cap_sketch",
+    oracle=_CAP_ORACLE,
+    tags=("pipeline", "sampling", "curation", "sketch"),
+)
+def pipeline_per_source_cap_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-gated production variant of pipeline_per_source_cap,
+    row-identical output (same oracle). A count-min sketch
+    (operators/sketch.py) upper-bounds each source's document count in
+    one combinable pre-pass; sources the sketch PROVES hold at most k
+    documents (count-min never undercounts) skip the two-phase salted
+    machinery — their exact window groups are <= k rows by
+    construction — while only the possibly-heavy sources pay the
+    salted pre-rank. At 100 TB with millions of mostly-tiny sources
+    this keeps the skew machinery off the long tail without a second
+    exact count shuffle; the depth*width sketch broadcasts.
+    Both routes (and their row-identity to a plain exact window) are
+    unit-tested on constructed light+heavy keys in test_operators.py —
+    the synthetic corpus alone has 25 docs in every source, which
+    would leave the light path unexercised."""
+    d = t(spark, sf_dir, "documents")
+    return sketch_gated_topk(
         d,
         "source",
         [F.desc("n_chars"), F.asc("doc_id")],

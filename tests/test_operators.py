@@ -355,6 +355,74 @@ class TestFanout:
         assert plan.count("Exchange") <= 1
 
 
+class TestCountMinSketch:
+    def _frame(self, spark):
+        # one heavy key (40 rows), two light keys (3 and 1 rows)
+        rows = [("heavy", i, i * 7 % 40) for i in range(40)]
+        rows += [("light_a", 100 + i, i) for i in range(3)]
+        rows += [("light_b", 200, 5)]
+        return spark.createDataFrame(rows, "k string, id long, v long")
+
+    def test_estimates_never_undercount(self, spark):
+        from bend_archiver_spark.operators.sketch import (
+            count_min,
+            estimate_counts,
+        )
+
+        df = self._frame(spark)
+        sk = count_min(df, "k")
+        est = {
+            r["k"]: r["est"]
+            for r in estimate_counts(
+                df.select("k").distinct(), sk, "k"
+            ).collect()
+        }
+        true = {"heavy": 40, "light_a": 3, "light_b": 1}
+        for k, n in true.items():
+            assert est[k] >= n, (k, est[k], n)
+
+    def test_gated_topk_matches_exact_window_on_both_routes(self, spark):
+        from pyspark.sql import Window
+
+        from bend_archiver_spark.operators.sketch import (
+            count_min,
+            estimate_counts,
+            sketch_gated_topk,
+        )
+        from pyspark.sql import functions as F
+
+        df = self._frame(spark)
+        k = 5
+        # with a 4096-wide sketch and 3 keys, estimates are collision-
+        # free: the light keys (<= k rows) take the plain-window route,
+        # the heavy key the salted route — both routes really execute
+        sk = count_min(df, "k")
+        est = {
+            r["k"]: r["est"]
+            for r in estimate_counts(
+                df.select("k").distinct(), sk, "k"
+            ).collect()
+        }
+        assert est["heavy"] > k and est["light_a"] <= k
+
+        got = sketch_gated_topk(
+            df,
+            "k",
+            [F.desc("v"), F.asc("id")],
+            k,
+            salt_expr=F.xxhash64(F.col("id")),
+            rank_alias="rank",
+        )
+        w = Window.partitionBy("k").orderBy(F.desc("v"), F.asc("id"))
+        want = (
+            df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
 class TestDedupInvariants:
     def _docs(self, spark):
         rows = [
