@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import explode_quantized
-from .base import register, t
+from .base import hash64_sql, register, t
 
 _PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims per subspace)
 _PQ_K = 4  # centroids per sub-codebook: slices of vectors vec_id < 4
@@ -197,4 +197,86 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", "adc_dist_q")
+    )
+
+
+# ---------------------------------------------------------------------
+# Random-projection dimensionality reduction (Johnson-Lindenstrauss)
+# ---------------------------------------------------------------------
+
+_RP_DOUT = 16  # 64 -> 16 dims
+
+# sign_{j,i} = +1/-1 from the portable hash of "rp_j_i" (decorrelated
+# from the LSH planes by the prefix)
+_RP_SIGNS_SQL = f"""
+      SELECT p.j, d.i,
+             CASE WHEN {hash64_sql("concat('rp_', p.j, '_', d.i)")} % 2 = 1
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT unnest(range(0, {_RP_DOUT})) AS j) p,
+           (SELECT unnest(range(0, 64)) AS i) d
+"""
+
+_RP_ORACLE = f"""
+WITH e AS ({_EM_SQL}),
+signs AS ({_RP_SIGNS_SQL}),
+norms AS (SELECT vec_id, SUM(xq * xq) AS nrm FROM e GROUP BY vec_id),
+proj AS (
+  SELECT e.vec_id, s.j, SUM(e.xq * s.sgn) AS yq
+  FROM e JOIN signs s ON s.i = e.i
+  GROUP BY 1, 2),
+pn AS (SELECT vec_id, SUM(yq * yq) AS pnrm FROM proj GROUP BY vec_id)
+SELECT n.vec_id,
+       CAST(n.nrm AS BIGINT) AS orig_sq_norm,
+       CAST(p.pnrm AS BIGINT) AS proj_sq_norm,
+       CAST(p.pnrm AS DOUBLE) / ({_RP_DOUT} * nullif(n.nrm, 0)) AS jl_ratio
+FROM norms n JOIN pn p ON p.vec_id = n.vec_id
+"""
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_RP_ORACLE,
+    tags=("embedding", "dimensionality-reduction"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    deterministic +-1 sign matrix (Achlioptas, "Database-friendly
+    random projections", 2001: +-1 entries preserve distances like
+    Gaussian ones), reporting per-vector squared norms and the
+    norm-preservation ratio E[ratio] = 1 — the audit every
+    project-then-ANN pipeline runs before trusting reduced vectors.
+
+    Scale design: the whole query is MAP-ONLY — the 16x64 sign matrix
+    is built once as a one-row broadcast literal (same md5 derivation
+    as the LSH planes, 'rp_' prefix), each vector computes its 16
+    projections and both norms inside one higher-order-function
+    projection, zero shuffles end to end (pinned in test_plans.py).
+    At 100 TB this is a pure scan; the 4x-shorter vectors then cut
+    every downstream ANN dot product by 4x. All arithmetic exact
+    int64 (components quantized at 1e6)."""
+    from ..operators.similarity import quantized_vectors, _dot
+
+    signs_sql = f"""
+      transform(sequence(0, {_RP_DOUT - 1}), j ->
+        transform(sequence(0, 63), i ->
+          CASE WHEN CAST(conv(substring(md5(concat('rp_', j, '_', i)), 1, 15),
+                             16, 10) AS BIGINT) % 2 = 1
+               THEN 1L ELSE -1L END))
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    v = quantized_vectors(emb, "vec_id", "embedding")
+    signs_df = spark.range(1).select(F.expr(signs_sql).alias("_signs"))
+    vv = v.crossJoin(F.broadcast(signs_df))
+    yqs = F.transform(F.col("_signs"), lambda row: _dot(F.col("vq"), row))
+    pnrm = F.aggregate(
+        yqs, F.lit(0).cast("long"), lambda acc, y: acc + y * y
+    )
+    return vv.select(
+        "vec_id",
+        F.col("nrm").cast("bigint").alias("orig_sq_norm"),
+        pnrm.cast("bigint").alias("proj_sq_norm"),
+        (
+            pnrm.cast("double")
+            / (F.lit(_RP_DOUT) * F.nullif(F.col("nrm"), F.lit(0)))
+        ).alias("jl_ratio"),
     )

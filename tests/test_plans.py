@@ -246,6 +246,15 @@ class TestQualityAndPQPlans:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
 
+    def test_random_projection_map_only(self, spark, sf_dir):
+        """JL projection is a pure scan: the sign matrix rides a
+        one-row broadcast, projections and norms are HOF expressions —
+        the only join is the broadcast cross join, zero exchanges."""
+        plan = plan_of(spark, sf_dir, "embedding_random_projection")
+        assert "Exchange hashpartitioning" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row signs side
+
     def test_bpe_tokens_map_only(self, spark, sf_dir):
         """Token counting is a pure projection — zero exchanges; at
         100 TB this is the difference between a scan and a shuffle of
