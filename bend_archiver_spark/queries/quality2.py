@@ -1,0 +1,390 @@
+"""Model-based and rule-based quality filters, round 2: the three
+published corpus-filtering families not yet covered by quality.py —
+
+- Gopher rule filter (Rae et al. 2021, "Scaling Language Models:
+  Methods, Analysis & Insights from Training Gopher", Table A1): the
+  hand-written document heuristics every large crawl pipeline applies
+  before any model-based scoring;
+- bigram-LM perplexity filter (the CCNet / KenLM shape: score each
+  document under a language model trained on the corpus itself);
+- DSIR importance weights (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling": hashed-ngram bucket
+  log-ratio of a target distribution over the raw distribution).
+
+Cross-engine determinism: no transcendental ever touches data. All
+log2 terms are quantized through the exact integer identity
+``floor(log2(x)) = length(bin(x)) - 1`` (same bit-math in Spark and
+DuckDB — the pattern proven by text_surprisal_bits), scaled by a
+power-of-two constant, and every ratio test is cleared of division
+(``mean >= 3``  ->  ``sum >= 3*n``), so results are bit-identical
+under any partitioning.
+
+The reference has no text surface at all (SURVEY §2 Table B) — this
+module is beyond-reference training-pipeline capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import fanout, hash64_expr, hash64_sql, register, t
+
+# ---------------------------------------------------------------------
+# Gopher rule filter
+# ---------------------------------------------------------------------
+
+_WC_MIN, _WC_MAX = 50, 100_000  # word-count bounds
+_MWL_MIN, _MWL_MAX = 3, 10  # mean word length bounds
+_STOPWORDS = (
+    "the", "be", "to", "of", "and", "a", "in", "that", "have", "with",
+)
+_MIN_STOP_HITS = 2
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+
+_GOPHER_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS arr,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) // 3
+           AS n_ellipsis
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(arr) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(arr, x -> length(x))) AS BIGINT)
+           AS word_chars,
+         CAST(len(list_filter(arr, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(arr, {_STOP_SQL})) AS BIGINT)
+           AS n_stop_hits,
+         CAST(n_hash + n_ellipsis AS BIGINT) AS n_symbols
+  FROM w)
+SELECT doc_id, n_words, word_chars, n_alpha_words, n_stop_hits,
+       n_symbols,
+       n_words BETWEEN {_WC_MIN} AND {_WC_MAX} AS rule_word_count,
+       {_MWL_MIN} * n_words <= word_chars
+         AND word_chars <= {_MWL_MAX} * n_words AS rule_mean_word_len,
+       10 * n_symbols <= n_words AS rule_symbol_ratio,
+       5 * n_alpha_words >= 4 * n_words AS rule_alpha_words,
+       n_stop_hits >= {_MIN_STOP_HITS} AS rule_stopwords,
+       (n_words BETWEEN {_WC_MIN} AND {_WC_MAX})
+         AND ({_MWL_MIN} * n_words <= word_chars
+              AND word_chars <= {_MWL_MAX} * n_words)
+         AND (10 * n_symbols <= n_words)
+         AND (5 * n_alpha_words >= 4 * n_words)
+         AND (n_stop_hits >= {_MIN_STOP_HITS}) AS keep
+FROM m
+"""
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=_GOPHER_ORACLE,
+    tags=("text", "quality", "rules"),
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 Table A1, adapted to
+    this corpus's fields): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio ('#' and '...'), >=80% words containing an
+    alphabetic character, and >=2 distinct stopwords present. Each
+    rule is emitted as its own boolean next to the final ``keep`` so a
+    pipeline can audit per-rule rejection rates, not just the verdict.
+
+    Every ratio test is cleared of division into pure int64
+    comparisons (``mean_word_len >= 3`` is ``word_chars >= 3*n_words``)
+    so both engines agree bit-for-bit. Map-only: one projection over
+    the scan computes all counters with array HOFs — no explode, no
+    shuffle, the cheapest possible full-corpus pass (at 100 TB this is
+    a single wave of scan tasks)."""
+    d = t(spark, sf_dir, "documents")
+    arr = F.split(F.trim(F.lower("text")), r"\s+")
+    n_words = F.size(arr).cast("bigint")
+    word_chars = F.aggregate(
+        arr, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    ).cast("bigint")
+    n_alpha = F.size(F.filter(arr, lambda x: x.rlike("[a-z]"))).cast("bigint")
+    n_stop = F.size(
+        F.array_intersect(arr, F.array(*[F.lit(s) for s in _STOPWORDS]))
+    ).cast("bigint")
+    n_symbols = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+        + F.expr("(length(text) - length(replace(text, '...', ''))) div 3")
+    ).cast("bigint")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop_hits"),
+        n_symbols.alias("n_symbols"),
+    )
+    r_wc = F.col("n_words").between(_WC_MIN, _WC_MAX)
+    r_mwl = (_MWL_MIN * F.col("n_words") <= F.col("word_chars")) & (
+        F.col("word_chars") <= _MWL_MAX * F.col("n_words")
+    )
+    r_sym = 10 * F.col("n_symbols") <= F.col("n_words")
+    r_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    r_stop = F.col("n_stop_hits") >= _MIN_STOP_HITS
+    return m.select(
+        "*",
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Bigram-LM perplexity filter
+# ---------------------------------------------------------------------
+
+# Quantization scale for floor(log2(S * ratio)). 2^20 keeps
+# S*(context+V) within int64 up to ~2^43 corpus token counts; beyond
+# that (multi-trillion-token corpora) widen the arithmetic to
+# DECIMAL(38,0) on both engines — the identity is unchanged.
+_LM_S = 1 << 20
+
+_LM_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+  FROM documents),
+st AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(arr)),
+                i -> struct_pack(w1 := arr[i],
+                                 bg := arr[i] || ' ' || arr[i + 1]))) AS s
+  FROM tok WHERE len(arr) >= 2),
+stream AS (SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM st),
+u AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS u_cnt FROM stream GROUP BY w1),
+b AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS b_cnt FROM stream GROUP BY bg),
+v AS (
+  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab
+  FROM (SELECT unnest(arr) AS w FROM tok)),
+bits AS (
+  SELECT stream.doc_id,
+         CAST(length(bin(({_LM_S} * (u.u_cnt + v.vocab)) // (b.b_cnt + 1)))
+              - 1 AS BIGINT) AS bits
+  FROM stream JOIN u USING (w1) JOIN b USING (bg) CROSS JOIN v)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(bits) AS BIGINT) AS total_bits,
+       round(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 6) AS mean_bits
+FROM bits GROUP BY doc_id
+"""
+
+
+@register(
+    "text_bigram_lm_bits",
+    oracle=_LM_ORACLE,
+    tags=("text", "quality", "lm"),
+)
+def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity filter (the CCNet/KenLM recipe
+    with the LM trained on the corpus itself): per-bigram conditional
+    probability P(w2|w1) = (count(w1 w2)+1) / (count(w1 ·)+V) with
+    add-one smoothing, per-document surprisal = sum of
+    floor(log2(S/P)) - log2(S) bits computed EXACTLY as
+    ``length(bin((S*(ctx+V)) div (bg+1))) - 1`` — integer bit-math,
+    no transcendentals, bit-identical across engines. Low mean-bits =
+    in-distribution text; high = noise — the cut CCNet applies per
+    language shard.
+
+    Scale shape: the bigram stream is a map-side projection (array
+    HOFs build per-position (w1, bigram) structs — no self-join per
+    token); context and bigram count tables are vocabulary-bounded
+    combinable groupBys; the scoring joins are int64-keyed equi-joins
+    (hashed keys, never multi-word strings on the wire — AQE
+    broadcasts them while they fit, and at web scale they stay
+    vocabulary-sized, orders of magnitude below the token stream);
+    the one-row vocab total is a broadcast cross join. Documents with
+    fewer than two tokens have no bigrams and drop out (same in the
+    oracle)."""
+    d = fanout(t(spark, sf_dir, "documents"))
+    arr = F.split(F.trim(F.lower("text")), r"\s+")
+    sz = F.size(arr)
+    # adjacent-pair structs via arrays_zip of two slices: the split is
+    # evaluated a constant number of times PER ROW. (A
+    # transform(sequence(...), i -> element_at(arr, i)) lambda instead
+    # re-evaluates the split per ELEMENT — O(tokens^2) per document,
+    # measured ~2x wall-clock on this corpus and unbounded on long
+    # documents.)
+    pairs = F.arrays_zip(
+        F.slice(arr, 1, sz - 1).alias("w1"),
+        F.slice(arr, 2, sz - 1).alias("w2"),
+    )
+    # persist the compact (doc_id, c, g) int64 stream: it feeds three
+    # consumers (context counts, bigram counts, the scoring probe) and
+    # without the barrier Catalyst recomputes the explode+md5 front
+    # end for each — the same CollapseProject trap the minhash
+    # pipeline pins against. MEMORY_AND_DISK; ~24 bytes/bigram, spills
+    # rather than OOMs; callers clear cache between queries.
+    stream = (
+        d.filter(sz >= 2)
+        .select("doc_id", F.explode(pairs).alias("s"))
+        .select(
+            "doc_id",
+            hash64_expr(F.col("s.w1")).alias("c"),
+            hash64_expr(
+                F.concat_ws(" ", F.col("s.w1"), F.col("s.w2"))
+            ).alias("g"),
+        )
+        .persist()
+    )
+    u = stream.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("u_cnt"))
+    b = stream.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("b_cnt"))
+    vocab = (
+        d.select(F.explode(arr).alias("w"))
+        .agg(F.count_distinct("w").cast("bigint").alias("vocab"))
+    )
+    bits = (
+        F.length(F.bin(F.expr(f"({_LM_S} * (u_cnt + vocab)) div (b_cnt + 1)")))
+        - 1
+    ).cast("bigint")
+    return (
+        stream.join(b, "g")
+        .join(u, "c")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("bits").cast("bigint").alias("total_bits"),
+            F.round(
+                F.sum("bits").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------
+
+_DSIR_BUCKETS = 512
+_DSIR_TARGET_LANG = "en"
+# 2^40 scale: qlog2 of probabilities down to 2^-40 stays positive;
+# S*(cnt+1) fits int64 through ~10^5 x corpus growth over sf0.1 —
+# beyond that widen to DECIMAL(38,0) (same identity).
+_DSIR_S = 1 << 40
+
+_DSIR_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS is_t,
+         ({hash64_sql('w')} % {_DSIR_BUCKETS}) AS bucket
+  FROM (SELECT doc_id, lang,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents)),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS r_total,
+         CAST(SUM(is_t) AS BIGINT) AS t_total
+  FROM tok),
+cnt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_cnt,
+         CAST(SUM(is_t) AS BIGINT) AS t_cnt
+  FROM tok GROUP BY bucket),
+w AS (
+  SELECT bucket,
+         CAST((length(bin(({_DSIR_S} * (t_cnt + 1))
+                          // (t_total + {_DSIR_BUCKETS}))) - 1)
+            - (length(bin(({_DSIR_S} * (r_cnt + 1))
+                          // (r_total + {_DSIR_BUCKETS}))) - 1)
+              AS BIGINT) AS wb
+  FROM cnt CROSS JOIN totals)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(wb) AS BIGINT) AS score_bits,
+       SUM(wb) > 0 AS keep
+FROM tok JOIN w USING (bucket)
+GROUP BY doc_id
+"""
+
+
+@register(
+    "pipeline_dsir_importance",
+    oracle=_DSIR_ORACLE,
+    tags=("pipeline", "quality", "sampling", "dsir"),
+)
+def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hash every token
+    occurrence into one of 512 buckets, estimate add-one-smoothed
+    bucket distributions for the TARGET corpus (lang='en' stands in
+    for the high-quality target, e.g. Wikipedia) and the RAW corpus
+    (everything), and score each document by the summed quantized
+    log-ratio sum_f [log2 p_target(f) - log2 p_raw(f)] — documents
+    whose features look target-like get positive scores and survive
+    importance resampling. Both log2 terms go through the exact
+    ``length(bin(S*p_num div p_den)) - 1`` bit-math (the power-of-two
+    scale cancels in the difference), so scores are int64 and
+    bit-identical across engines.
+
+    Scale shape: the token stream is a projection off the scan; the
+    bucket histogram is ONE map-side-combinable groupBy producing
+    exactly 512 rows carrying both distributions (raw count +
+    conditional target count — no second pass over the target);
+    the 512-row weight table and the 1-row totals broadcast, so the
+    scoring join never shuffles the stream; the per-document reduce
+    is the only full shuffle. Recomputing the stream for the
+    histogram and the scoring pass is two scans of a pruned
+    (doc_id, lang, text) projection — cheaper at 100 TB than
+    persisting an exploded token table."""
+    d = fanout(t(spark, sf_dir, "documents"))
+    stream = d.select(
+        "doc_id",
+        F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+        .otherwise(0)
+        .alias("is_t"),
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    ).select(
+        "doc_id",
+        "is_t",
+        (hash64_expr(F.col("w")) % _DSIR_BUCKETS).alias("bucket"),
+    )
+    totals = stream.agg(
+        F.count(F.lit(1)).cast("bigint").alias("r_total"),
+        F.sum("is_t").cast("bigint").alias("t_total"),
+    )
+    cnt = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r_cnt"),
+        F.sum("is_t").cast("bigint").alias("t_cnt"),
+    )
+    qlog_t = (
+        F.length(
+            F.bin(
+                F.expr(
+                    f"({_DSIR_S} * (t_cnt + 1))"
+                    f" div (t_total + {_DSIR_BUCKETS})"
+                )
+            )
+        )
+        - 1
+    )
+    qlog_r = (
+        F.length(
+            F.bin(
+                F.expr(
+                    f"({_DSIR_S} * (r_cnt + 1))"
+                    f" div (r_total + {_DSIR_BUCKETS})"
+                )
+            )
+        )
+        - 1
+    )
+    weights = (
+        cnt.crossJoin(F.broadcast(totals))
+        .select("bucket", (qlog_t - qlog_r).cast("bigint").alias("wb"))
+    )
+    return (
+        stream.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("wb").cast("bigint").alias("score_bits"),
+            (F.sum("wb") > 0).alias("keep"),
+        )
+    )
