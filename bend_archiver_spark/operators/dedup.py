@@ -17,6 +17,7 @@ __all__ = [
     "shingle",
     "jaccard_pairs",
     "minhash_lsh_dedup",
+    "minhash_lsh_cross",
     "simhash_fingerprints",
     "simhash_pairs",
     "simhash_pairs_banded",
@@ -121,6 +122,76 @@ def jaccard_pairs(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    perms: list[tuple[int, int]],
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash front end: returns ``(with_h, sig)`` where
+    ``with_h`` is (doc_id, hvs: array<bigint>) — the 60-bit hashes of
+    the document's distinct word n-gram shingles — and ``sig`` is
+    (doc_id, s0..s{k-1}, n) — the permutation minima plus shingle
+    count. Entirely map-side (array HOFs, no explode/groupBy);
+    ``persist`` materializes ``with_h`` as the plan barrier that
+    stops CollapseProject from inlining the shingle+md5 work into
+    every downstream consumer."""
+    src = fanout(df)
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    sz = F.size(arr)
+    sh = F.when(
+        sz >= ngram,
+        F.transform(
+            F.sequence(F.lit(0), sz - ngram),
+            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, F.lit(ngram))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hvs = F.transform(
+        F.array_distinct(sh), lambda s: hash64_expr(s) % P31
+    )
+    with_h = src.select(
+        F.col(id_col).alias("doc_id"), hvs.alias("hvs")
+    )
+    if persist:
+        with_h = with_h.persist()
+    sig = with_h.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("hvs"), lambda h: (F.lit(a) * h + F.lit(b)) % P31
+                )
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(perms)
+        ],
+        F.size("hvs").alias("n"),
+    )
+    return with_h, sig
+
+
+def minhash_bands(sig: DataFrame, n_sigs: int, n_bands: int) -> DataFrame:
+    """LSH banding over a signature table: (doc_id, band_idx,
+    band_key) with ``n_bands`` keys per document, each concatenating
+    ``n_sigs // n_bands`` signature minima. A cheap per-row explode —
+    the band-key equi-join downstream is what replaces the O(n^2)
+    pair enumeration."""
+    rows_per_band = n_sigs // n_bands
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[F.col(f"s{j * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for j in range(n_bands)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
@@ -152,7 +223,6 @@ def minhash_lsh_dedup(
     eviction is otherwise LRU within the storage pool.
     """
     perms = perms or DEFAULT_PERMS
-    rows_per_band = len(perms) // n_bands
     # Signatures are computed ENTIRELY map-side with array HOFs: the
     # distinct shingle set, its 60-bit hashes, and the 16 permutation
     # minima all live inside one projection — no explode, no distinct
@@ -162,48 +232,10 @@ def minhash_lsh_dedup(
     # the oracle); the first exchange in the whole plan is the band
     # join. Arrays are bounded by document size, so per-row state is
     # fine at 100 TB (multi-MB docs -> thousands of shingles).
-    src = fanout(df)
-    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    sz = F.size(arr)
-    sh = F.when(
-        sz >= ngram,
-        F.transform(
-            F.sequence(F.lit(0), sz - ngram),
-            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, F.lit(ngram))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    hvs = F.transform(
-        F.array_distinct(sh), lambda s: hash64_expr(s) % P31
+    with_h, sig = minhash_signatures(
+        df, id_col, text_col, ngram, perms, persist=persist_shingles
     )
-    with_h = src.select(
-        F.col(id_col).alias("doc_id"), hvs.alias("hvs")
-    )
-    if persist_shingles:
-        with_h = with_h.persist()
-    sig = with_h.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("hvs"), lambda h: (F.lit(a) * h + F.lit(b)) % P31
-                )
-            ).alias(f"s{i}")
-            for i, (a, b) in enumerate(perms)
-        ],
-        F.size("hvs").alias("n"),
-    )
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                *[F.col(f"s{j * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-            for j in range(n_bands)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
-    )
+    bands = minhash_bands(sig, len(perms), n_bands)
     ba = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
     bb = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
     cand = (
@@ -221,6 +253,68 @@ def minhash_lsh_dedup(
         "doc_id", F.explode("hvs").alias("tok")
     )
     return jaccard_pairs(hashed_toks, threshold, candidates=cand, sizes=sizes)
+
+
+def minhash_lsh_cross(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    perms: list[tuple[int, int]] | None = None,
+    n_bands: int = 4,
+    persist_shingles: bool = True,
+) -> DataFrame:
+    """Cross-corpus MinHash decontamination: near-dup pairs between a
+    large ``corpus`` and a small held-out ``bench`` set (an eval
+    suite), with exact-Jaccard verification of band-collided
+    candidates. Returns (doc_id, bench_id, jaccard) — the documents a
+    training pipeline must drop to avoid benchmark leakage.
+
+    The asymmetry IS the scale design: the bench side is tiny by
+    definition, so its band table and shingle-hash table are
+    explicitly broadcast — the corpus side is touched by exactly one
+    map-side band join (no shuffle of corpus data to find candidates)
+    plus the candidate-only verification joins. Ids must be disjoint
+    across the two inputs (the verification reuses jaccard_pairs over
+    the union of both hash streams keyed by id)."""
+    perms = perms or DEFAULT_PERMS
+    wh_c, sig_c = minhash_signatures(
+        corpus, id_col, text_col, ngram, perms, persist=persist_shingles
+    )
+    # bench is small: skip the persist barrier (one extra evaluation
+    # of a tiny projection beats holding executor storage for it)
+    wh_b, sig_b = minhash_signatures(
+        bench, id_col, text_col, ngram, perms, persist=False
+    )
+    bands_c = minhash_bands(sig_c, len(perms), n_bands)
+    bands_b = minhash_bands(sig_b, len(perms), n_bands)
+    cand = (
+        bands_c.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+        .join(
+            F.broadcast(
+                bands_b.select(
+                    F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+                )
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    toks = wh_c.select("doc_id", F.explode("hvs").alias("tok")).unionByName(
+        wh_b.select("doc_id", F.explode("hvs").alias("tok"))
+    )
+    sizes = sig_c.select("doc_id", "n").unionByName(
+        sig_b.select("doc_id", "n")
+    )
+    pairs = jaccard_pairs(toks, threshold, candidates=cand, sizes=sizes)
+    return pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("bench_id"),
+        "jaccard",
+    )
 
 
 def simhash_fingerprints(

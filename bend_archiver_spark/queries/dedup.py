@@ -504,3 +504,62 @@ def dedup_clusters_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Cross-corpus decontamination
+# ---------------------------------------------------------------------
+
+_X_BENCH = 10  # doc_id < 10 stands in for the held-out eval suite
+_X_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_cross_corpus_minhash",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    h AS (SELECT doc_id, ({hash64_sql('tok')} % {_P}) AS hv FROM toks),
+    {_minhash_sig_sql()},
+    bands AS ({_band_union_sql()}),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+      FROM bands c JOIN bands b
+        ON c.band_idx = b.band_idx AND c.band_key = b.band_key
+      WHERE c.doc_id >= {_X_BENCH} AND b.doc_id < {_X_BENCH}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_id, c.bench_id, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN h ta ON ta.doc_id = c.doc_id
+      JOIN h tb ON tb.doc_id = c.bench_id AND tb.hv = ta.hv
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_id, i.bench_id,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_id
+    JOIN sizes sb ON sb.doc_id = i.bench_id
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+            >= {_X_THRESHOLD}
+    """,
+    tags=("dedup", "minhash", "decontamination"),
+)
+def dedup_cross_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination at MinHash scale: near-dup pairs
+    BETWEEN the training corpus (doc_id >= 10) and a small held-out
+    benchmark set (doc_id < 10), threshold 0.5 — the fuzzy
+    complement of text_contamination_check's exact 5-gram overlap
+    (that one catches verbatim leakage; this one catches paraphrased/
+    partially-edited leakage the exact match misses). Delegates to
+    operators.dedup.minhash_lsh_cross: the bench side's band table
+    and shingle hashes are BROADCAST, so candidate generation touches
+    the corpus with one map-side join — at 100 TB the corpus is never
+    shuffled to find its contaminated documents."""
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < _X_BENCH)
+    corpus = d.filter(F.col("doc_id") >= _X_BENCH)
+    return ops.minhash_lsh_cross(
+        corpus, bench, "doc_id", "text",
+        threshold=_X_THRESHOLD, perms=_PERMS, n_bands=_N_BANDS,
+    )
