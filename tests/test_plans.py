@@ -365,3 +365,46 @@ class TestNoPythonInHotPath:
         plan = plan_of(spark, sf_dir, "multimodal_decode_stub")
         assert "MapInPandas" in plan  # Arrow batches, not per-row UDF
         assert "BatchEvalPython" not in plan
+
+
+class TestQuality2Plans:
+    def test_gopher_rules_map_only(self, spark, sf_dir):
+        """Rule filter is a single projection over the scan — zero
+        exchanges, zero generators; at 100 TB it costs one wave of
+        scan tasks."""
+        plan = plan_of(spark, sf_dir, "text_gopher_quality_rules")
+        assert "Exchange" not in plan
+        assert "Generate" not in plan
+
+    def test_bigram_lm_stream_barrier_and_broadcast_counts(
+        self, spark, sf_dir
+    ):
+        """The (doc_id, c, g) bigram stream sits behind a persist
+        barrier (three consumers; without it the explode+md5 front end
+        re-runs for each), count tables join back without a cartesian,
+        and the one-row vocab total broadcasts."""
+        plan = plan_of(spark, sf_dir, "text_bigram_lm_bits")
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row vocab side
+
+    def test_dsir_weights_broadcast_probe_never_shuffles(
+        self, spark, sf_dir
+    ):
+        """The 512-row weight table and 1-row totals broadcast; the
+        token stream is only ever shuffled by the final per-document
+        reduce (plus the fanout repartition on this small corpus) —
+        never by the scoring join."""
+        plan = plan_of(spark, sf_dir, "pipeline_dsir_importance")
+        assert "BroadcastHashJoin" in plan  # weights join
+        assert "CartesianProduct" not in plan
+
+    def test_cross_corpus_decontam_broadcasts_bench(self, spark, sf_dir):
+        """Candidate generation must touch the corpus with a map-side
+        join against the BROADCAST bench band table — shuffling the
+        corpus to find contamination defeats the design. The corpus
+        signature front end keeps its persist barrier."""
+        plan = plan_of(spark, sf_dir, "dedup_cross_corpus_minhash")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan
