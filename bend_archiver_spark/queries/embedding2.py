@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import explode_quantized
-from .base import hash64_sql, register, t
+from .base import fanout, hash64_sql, register, t
 
 _PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims per subspace)
 _PQ_K = 4  # centroids per sub-codebook: slices of vectors vec_id < 4
@@ -279,4 +279,89 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             pnrm.cast("double")
             / (F.lit(_RP_DOUT) * F.nullif(F.col("nrm"), F.lit(0)))
         ).alias("jl_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Top singular direction (two exact power-iteration steps)
+# ---------------------------------------------------------------------
+
+_TSD_SCALE = 64  # floor(x*64): 6-bit components keep two exact
+# matrix-vector products inside int64 up to ~50k vectors (sf1); for
+# larger corpora carry the sums in DECIMAL(38,0) — same identity.
+
+
+@register(
+    "embedding_top_singular_direction",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {_TSD_SCALE})
+                           AS BIGINT)) AS q
+      FROM embeddings),
+    c AS (
+      SELECT i.i AS i, j.j AS j,
+             CAST(SUM(q.q[i.i + 1] * q.q[j.j + 1]) AS BIGINT) AS c
+      FROM q, range(0, 64) i(i), range(0, 64) j(j)
+      GROUP BY 1, 2),
+    v1 AS (SELECT i, CAST(SUM(c) AS BIGINT) AS pass1 FROM c GROUP BY i),
+    v2 AS (
+      SELECT c.i AS i, CAST(SUM(c.c * v1.pass1) AS BIGINT) AS pass2
+      FROM c JOIN v1 ON v1.i = c.j GROUP BY c.i)
+    SELECT CAST(v1.i AS BIGINT) AS dim, v1.pass1, v2.pass2
+    FROM v1 JOIN v2 ON v1.i = v2.i
+    """,
+    tags=("embedding", "pca", "iterative"),
+)
+def embedding_top_singular_direction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top singular direction of the embedding matrix by TWO exact
+    power-iteration steps — the direction 'all-but-the-top'
+    post-processing (Mu & Viswanath 2018) removes, and the building
+    block of embedding whitening. v_2 = (X^T X)^2 · 1, computed
+    entirely in int64 on 6-bit-quantized components so both engines
+    agree bit-for-bit (double-cast before the scale multiply: a
+    float-precision product could floor differently across engines).
+
+    Scale shape: the Gram matrix arrives from ONE explode of a
+    per-row 64x64 product array (map-side, partial-agg combinable
+    into exactly 4096 groups — the corpus is never shuffled, only
+    4096-row partials); both iteration steps are joins/aggregates
+    over the fixed 4096-row matrix with the 64-row vector broadcast.
+    Adding iterations is adding 64-row joins — the plan grows by a
+    constant per step, never by data."""
+    e = fanout(t(spark, sf_dir, "embeddings"))
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * _TSD_SCALE).cast("bigint"),
+    )
+    prods = F.flatten(
+        F.transform(q, lambda qi: F.transform(q, lambda qj: qi * qj))
+    )
+    c = (
+        e.select(F.posexplode(prods).alias("pos", "p"))
+        .groupBy("pos")
+        .agg(F.sum("p").cast("bigint").alias("c"))
+        .select(
+            (F.col("pos") / 64).cast("bigint").alias("i"),
+            (F.col("pos") % 64).cast("bigint").alias("j"),
+            "c",
+        )
+    )
+    v1 = c.groupBy("i").agg(F.sum("c").cast("bigint").alias("pass1"))
+    v2 = (
+        c.join(
+            F.broadcast(
+                v1.select(F.col("i").alias("j"), F.col("pass1").alias("w"))
+            ),
+            "j",
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("w")).cast("bigint").alias("pass2"))
+    )
+    return (
+        v1.join(v2, "i")
+        .select(F.col("i").alias("dim"), "pass1", "pass2")
     )

@@ -388,3 +388,60 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("wb") > 0).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# BPE merge induction (one training step)
+# ---------------------------------------------------------------------
+
+_BPE_TOP = 50
+
+_MERGE_ORACLE = r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents),
+p AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                i -> substr(w, i, 2))) AS pair
+  FROM w WHERE length(w) >= 2)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 50
+"""
+
+
+@register(
+    "text_bpe_merge_candidates",
+    oracle=_MERGE_ORACLE,
+    tags=("text", "tokenization", "bpe"),
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One step of BPE tokenizer training at corpus scale: the top-50
+    most frequent adjacent symbol pairs within words (Sennrich et al.
+    2016 — each training step merges the argmax pair; iterating this
+    query against a re-segmented corpus IS the training loop, and the
+    first step is where >99% of the corpus-scan cost lives).
+
+    Shape: explode words, build each word's adjacent pairs with a
+    substr HOF (no per-element re-derivation of anything expensive —
+    the word is a plain exploded column), ONE map-side-combinable
+    groupBy on the pair, and a TakeOrderedAndProject top-50 (heap +
+    driver merge, no global sort). The tie order (count desc, pair
+    asc) is total, so the LIMIT frontier is deterministic on both
+    engines."""
+    d = fanout(t(spark, sf_dir, "documents"))
+    w = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.col("w").substr(i, F.lit(2)),
+    )
+    return (
+        w.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )

@@ -408,3 +408,20 @@ class TestQuality2Plans:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "InMemoryTableScan" in plan
+
+    def test_singular_direction_fixed_size_iterations(self, spark, sf_dir):
+        """The Gram matrix reduces map-side into 4096 groups; both
+        power-iteration steps operate on fixed-size tables with the
+        64-row vector broadcast — no cartesian, no corpus-sized
+        shuffle beyond the partial-agg exchange."""
+        plan = plan_of(spark, sf_dir, "embedding_top_singular_direction")
+        assert "partial_sum" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # 64-row v1 side
+
+    def test_bpe_merge_heap_topk(self, spark, sf_dir):
+        """Top-50 pair frontier must come from a per-partition heap +
+        driver merge, never a global sort of the pair histogram."""
+        plan = plan_of(spark, sf_dir, "text_bpe_merge_candidates")
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
