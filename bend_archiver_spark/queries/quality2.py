@@ -9,7 +9,11 @@ published corpus-filtering families not yet covered by quality.py —
   document under a language model trained on the corpus itself);
 - DSIR importance weights (Xie et al. 2023, "Data Selection for
   Language Models via Importance Resampling": hashed-ngram bucket
-  log-ratio of a target distribution over the raw distribution).
+  log-ratio of a target distribution over the raw distribution);
+
+plus two corpus-statistics operators in the same exact-arithmetic
+style: BPE merge induction (one Sennrich et al. 2016 tokenizer-
+training step) and a KMV distinct-count sketch with audited error.
 
 Cross-engine determinism: no transcendental ever touches data. All
 log2 terms are quantized through the exact integer identity
@@ -444,4 +448,95 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(_BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------
+
+_KMV_K = 64
+_TWO60 = float(1 << 60)  # 63 * 2^60 is exactly representable in double
+
+
+@register(
+    "agg_kmv_distinct_sketch",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT lang,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents),
+    h AS (SELECT DISTINCT lang, {hash64_sql('w')} AS h FROM tok),
+    exact AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM h GROUP BY lang),
+    ranked AS (
+      SELECT lang, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+      FROM h),
+    sk AS (
+      SELECT lang, CAST(MAX(h) AS BIGINT) AS kth_min,
+             CAST(COUNT(*) AS BIGINT) AS n_in_sketch
+      FROM ranked WHERE r <= {_KMV_K} GROUP BY lang)
+    SELECT e.lang, e.n_distinct, s.kth_min, s.n_in_sketch,
+           CASE WHEN s.n_in_sketch < {_KMV_K}
+                THEN CAST(e.n_distinct AS DOUBLE)
+                ELSE ({_KMV_K - 1}.0 * {_TWO60!r})
+                       / CAST(s.kth_min AS DOUBLE) END AS est_distinct
+    FROM exact e JOIN sk s ON e.lang = s.lang
+    """,
+    tags=("agg", "sketch", "cardinality"),
+)
+def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values cardinality sketch (Bar-Yossef et al. 2002 —
+    the mergeable distinct-count sketch family HLL refines): per
+    language, the 64 smallest distinct 60-bit token hashes; the
+    estimator (K-1) * 2^60 / kth_min is reported NEXT TO the exact
+    distinct count so the sketch's error is itself auditable. A
+    sketch is the union-mergeable representation a 100 TB pipeline
+    ships between stages (per-shard k-minima merge by taking the k
+    smallest of the union — associative, bounded size), where an
+    exact distinct count cannot be merged without re-shuffling.
+
+    Scale shape: one combinable distinct on (lang, hash), then the
+    per-group k-minima through the two-phase salted top-k
+    (operators/skew.py) so a dominant language never sorts its whole
+    hash set in one task. The estimator division is fixed-order IEEE
+    on int64->double casts — bit-identical across engines. Sketches
+    with fewer than K values fall back to the exact count (the
+    standard KMV small-set rule), same branch in the oracle."""
+    from ..operators.skew import salted_topk
+
+    d = fanout(t(spark, sf_dir, "documents"))
+    tok = d.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    )
+    h = tok.select("lang", hash64_expr(F.col("w")).alias("h")).distinct()
+    exact = h.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    )
+    kmin = salted_topk(
+        h,
+        "lang",
+        [F.asc("h")],
+        _KMV_K,
+        salt_expr=F.xxhash64(F.col("h")),
+        rank_alias="r",
+    )
+    sk = kmin.groupBy("lang").agg(
+        F.max("h").cast("bigint").alias("kth_min"),
+        F.count(F.lit(1)).cast("bigint").alias("n_in_sketch"),
+    )
+    est = F.when(
+        F.col("n_in_sketch") < _KMV_K, F.col("n_distinct").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1) * _TWO60) / F.col("kth_min").cast("double")
+    )
+    return (
+        exact.join(sk, "lang")
+        .select(
+            "lang", "n_distinct", "kth_min", "n_in_sketch",
+            est.alias("est_distinct"),
+        )
     )

@@ -425,3 +425,12 @@ class TestQuality2Plans:
         plan = plan_of(spark, sf_dir, "text_bpe_merge_candidates")
         assert "TakeOrderedAndProject" in plan
         assert "Exchange rangepartitioning" not in plan
+
+    def test_kmv_sketch_two_phase_minima(self, spark, sf_dir):
+        """The per-language k-minima must go through the two-phase
+        salted window (bounded sorts), and the distinct on
+        (lang, hash) must partial-aggregate map-side."""
+        plan = plan_of(spark, sf_dir, "agg_kmv_distinct_sketch")
+        assert "CartesianProduct" not in plan
+        # two window passes = the salted phase-1 + exact phase-2
+        assert plan.count("Window") >= 2
