@@ -303,7 +303,7 @@ w AS (
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(wb) AS BIGINT) AS score_bits,
-       SUM(wb) > 0 AS keep
+       8 * SUM(wb) + 3 * COUNT(*) >= 0 AS keep
 FROM tok JOIN w USING (bucket)
 GROUP BY doc_id
 """
@@ -321,8 +321,12 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the high-quality target, e.g. Wikipedia) and the RAW corpus
     (everything), and score each document by the summed quantized
     log-ratio sum_f [log2 p_target(f) - log2 p_raw(f)] — documents
-    whose features look target-like get positive scores and survive
-    importance resampling. Both log2 terms go through the exact
+    whose features look target-like score near zero and survive
+    importance resampling (``keep`` is mean log-ratio >= -0.375 bits,
+    cleared of division into the exact int64 test
+    ``8*score + 3*n >= 0``; the floor quantization of both log terms
+    biases every weight downward, so 0 itself is the unreachable
+    upper bound). Both log2 terms go through the exact
     ``length(bin(S*p_num div p_den)) - 1`` bit-math (the power-of-two
     scale cancels in the difference), so scores are int64 and
     bit-identical across engines.
@@ -389,7 +393,7 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.sum("wb").cast("bigint").alias("score_bits"),
-            (F.sum("wb") > 0).alias("keep"),
+            (8 * F.sum("wb") + 3 * F.count(F.lit(1)) >= 0).alias("keep"),
         )
     )
 
@@ -539,4 +543,85 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", "n_distinct", "kth_min", "n_in_sketch",
             est.alias("est_distinct"),
         )
+    )
+
+
+# ---------------------------------------------------------------------
+# Composed curation funnel v2 (model-based stages chained)
+# ---------------------------------------------------------------------
+
+# mean_bits <= 24.35, cleared of division: 100*total <= 2435*n
+_LM_CUT_NUM, _LM_CUT_DEN = 2435, 100
+
+
+@register(
+    "pipeline_curate_v2",
+    oracle=rf"""
+    WITH gopher AS (
+      SELECT doc_id FROM ({_GOPHER_ORACLE}) g WHERE g.keep),
+    lm AS (
+      SELECT doc_id, n_bigrams, total_bits FROM ({_LM_ORACLE}) l
+      WHERE {_LM_CUT_DEN} * l.total_bits <= {_LM_CUT_NUM} * l.n_bigrams),
+    ds AS (
+      SELECT doc_id, n_tokens, score_bits FROM ({_DSIR_ORACLE}) s
+      WHERE s.keep),
+    surv AS (
+      SELECT d.doc_id, d.lang, d.source, d.text,
+             lm.n_bigrams, lm.total_bits, ds.n_tokens, ds.score_bits
+      FROM documents d
+      JOIN gopher USING (doc_id)
+      JOIN lm USING (doc_id)
+      JOIN ds USING (doc_id)),
+    keep1 AS (
+      SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               AS ck,
+             MIN(doc_id) AS doc_id
+      FROM surv GROUP BY 1)
+    SELECT s.doc_id, s.lang, s.source,
+           s.n_bigrams, s.total_bits, s.n_tokens, s.score_bits
+    FROM surv s JOIN keep1 k ON s.doc_id = k.doc_id
+    """,
+    tags=("pipeline", "curation", "composition"),
+)
+def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-based curation pipeline END TO END in one DAG —
+    Gopher rules -> bigram-LM perplexity cut -> DSIR target-likeness
+    -> exact keep-one dedup — returning the surviving documents with
+    their scores. This is the composition a real training-data run
+    executes; registering it as one query proves the stages compose
+    lazily into a single Catalyst plan (no materialization between
+    stages) and that the whole chain stays exact int64 (both cuts are
+    cleared of division).
+
+    Scale shape: every stage keys by doc_id, so the three filter
+    joins share one hash-partitioning of the survivors (Catalyst
+    reuses the exchange); the LM/DSIR sides reduce BEFORE joining
+    (per-document scores, not token streams); the dedup groupBy
+    touches only post-filter survivors."""
+    d = t(spark, sf_dir, "documents")
+    g = (
+        text_gopher_quality_rules(spark, sf_dir)
+        .filter("keep")
+        .select("doc_id")
+    )
+    lm = text_bigram_lm_bits(spark, sf_dir).filter(
+        _LM_CUT_DEN * F.col("total_bits")
+        <= _LM_CUT_NUM * F.col("n_bigrams")
+    ).select("doc_id", "n_bigrams", "total_bits")
+    ds = pipeline_dsir_importance(spark, sf_dir).filter("keep").select(
+        "doc_id", "n_tokens", "score_bits"
+    )
+    surv = (
+        d.select("doc_id", "lang", "source", "text")
+        .join(g, "doc_id")
+        .join(lm, "doc_id")
+        .join(ds, "doc_id")
+    )
+    ck = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+    keep1 = surv.groupBy(ck.alias("ck")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return surv.join(keep1.select("doc_id"), "doc_id").select(
+        "doc_id", "lang", "source",
+        "n_bigrams", "total_bits", "n_tokens", "score_bits",
     )

@@ -434,3 +434,12 @@ class TestQuality2Plans:
         assert "CartesianProduct" not in plan
         # two window passes = the salted phase-1 + exact phase-2
         assert plan.count("Window") >= 2
+
+    def test_curate_v2_composes_lazily(self, spark, sf_dir):
+        """The four chained stages must form ONE plan: per-document
+        score relations reduce before their doc_id joins (no token
+        stream crosses a join), the bigram stream's persist barrier
+        survives composition, and nothing degenerates to a cartesian."""
+        plan = plan_of(spark, sf_dir, "pipeline_curate_v2")
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan
