@@ -1,0 +1,49 @@
+"""Partition-invariance: the engine's core determinism claim.
+
+Every registered query promises BIT-IDENTICAL results under any
+partitioning (decimal-exact sums, integer bit-math logs, total-order
+windows). This test actually varies `spark.sql.shuffle.partitions`
+(a runtime conf — takes effect per-query without a new session) and
+compares full result sets for a representative slice of the registry:
+shuffle-heavy aggregation, MinHash banding, the persist-barriered
+bigram LM, the salted-window KMV sketch, the two-phase per-source cap,
+and the composed curation funnel. A failure here means some operator
+leaked partition-order dependence (e.g. a float sum or a
+non-total-order window) that the DuckDB oracle comparison could mask
+by luck at one fixed partitioning.
+"""
+
+import pytest
+
+from bend_archiver_spark.queries import REGISTRY
+
+QUERIES = [
+    "tpch_q1",
+    "dedup_minhash_lsh",
+    "text_bigram_lm_bits",
+    "agg_kmv_distinct_sketch",
+    "pipeline_per_source_cap",
+    "pipeline_curate_v2",
+]
+
+
+def _rows(spark, sf_dir, name):
+    df = REGISTRY[name].spark(spark, sf_dir)
+    cols = sorted(df.columns)
+    out = [tuple(r) for r in df.select(*cols).collect()]
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_under_partitioning(spark, sf_dir, name):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _rows(spark, sf_dir, name)
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _rows(spark, sf_dir, name)
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.catalog.clearCache()
