@@ -147,9 +147,16 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     regressions = find_regressions(timings, sf)
+    # round-over-round comparisons must use the r01-anchored subset:
+    # `value` grows whenever a round promotes new queries to headline
+    # status (r05 added dedup_cross_corpus_minhash, pipeline_curate_v2)
+    anchored_total = round(
+        sum(v for k, v in timings.items() if k in _R01_ANCHOR), 4
+    )
     result = {
         "metric": "headline_suite_total",
         "value": total,
+        "anchored_total": anchored_total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,

@@ -543,6 +543,7 @@ _X_THRESHOLD = 0.5
     WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
             >= {_X_THRESHOLD}
     """,
+    headline=True,
     tags=("dedup", "minhash", "decontamination"),
 )
 def dedup_cross_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -581,6 +581,7 @@ _LM_CUT_NUM, _LM_CUT_DEN = 2435, 100
            s.n_bigrams, s.total_bits, s.n_tokens, s.score_bits
     FROM surv s JOIN keep1 k ON s.doc_id = k.doc_id
     """,
+    headline=True,
     tags=("pipeline", "curation", "composition"),
 )
 def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
