@@ -28,7 +28,7 @@ identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity as ops
@@ -362,4 +362,107 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < _N_QUERIES,
         k=_TOP_K,
         candidates=cand,
+    )
+
+
+# ---------------------------------------------------------------------
+# Diversified top-k
+# ---------------------------------------------------------------------
+
+
+@register(
+    "ann_topk_diversified",
+    oracle=f"""
+    WITH e AS ({_E_SQL}),
+    norms AS ({_NORMS_SQL}),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(q.xq * c.xq) AS dot
+      FROM e q JOIN e c ON q.i = c.i
+      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, lbl.label,
+             {_COSINE_SQL} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id, lbl.label
+               ORDER BY {_COSINE_SQL} DESC, neighbor_id
+             ) AS rep_rank
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+      JOIN embeddings lbl ON lbl.vec_id = neighbor_id
+    ),
+    diverse AS (
+      SELECT query_id, neighbor_id, label, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id
+             ) AS rank
+      FROM scored WHERE rep_rank = 1
+    )
+    SELECT query_id, neighbor_id, CAST(label AS INT) AS label,
+           rank, cosine
+    FROM diverse WHERE rank <= {_TOP_K}
+    """,
+    tags=("similarity", "ann", "diversity"),
+)
+def ann_topk_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified exact top-k (the EDBT'20 "diversified top-k search"
+    contract): at most ONE neighbor per label class, then the k best
+    class representatives — what a retrieval layer returns when raw
+    top-k would be k near-copies of the same cluster. Two windows:
+    best-per-(query, class), then top-k across classes; both orders
+    are total (cosine desc, neighbor_id), so results are deterministic
+    on both engines.
+
+    Scale shape: same broadcast-query brute-force front end as
+    ann_topk_bruteforce (each corpus row computes one int64 dot, no
+    positional explode); the diversity pass adds one window keyed by
+    (query_id, label) — cardinality queries x classes, far below the
+    corpus — and the final window sees at most one row per class.
+    With an LSH/IVF candidate stage in front, the same two windows
+    apply unchanged to the candidate set."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = ops.quantized_vectors(emb, "vec_id", "embedding")
+    qids = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id")
+    )
+    q = v.join(F.broadcast(qids), v.vec_id == qids.query_id).select(
+        "query_id", F.col("vq").alias("qv"), F.col("nrm").alias("nrm_q")
+    )
+    c = v.join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("vq").alias("cv"),
+        F.col("nrm").alias("nrm_c"),
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = ops._cosine_from(
+        ops._dot(F.col("qv"), F.col("cv")),
+        F.col("nrm_q"),
+        F.col("nrm_c"),
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        F.col("label").cast("int").alias("label"),
+        cos.alias("cosine"),
+    )
+    w_rep = Window.partitionBy("query_id", "label").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rep_rank", F.row_number().over(w_rep))
+        .filter(F.col("rep_rank") == 1)
+        .withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "label", "rank", "cosine")
     )

@@ -443,3 +443,12 @@ class TestQuality2Plans:
         plan = plan_of(spark, sf_dir, "pipeline_curate_v2")
         assert "CartesianProduct" not in plan
         assert "InMemoryTableScan" in plan
+
+    def test_diversified_topk_broadcasts_queries(self, spark, sf_dir):
+        """The query side must broadcast (each corpus row computes one
+        dot) and the diversity windows must not degrade to a global
+        sort or cartesian pair product beyond the broadcast."""
+        plan = plan_of(spark, sf_dir, "ann_topk_diversified")
+        assert "BroadcastNestedLoopJoin" in plan  # broadcast query side
+        assert "CartesianProduct" not in plan
+        assert plan.count("Window") >= 2
