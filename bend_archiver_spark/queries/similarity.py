@@ -466,3 +466,80 @@ def ann_topk_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "label", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------
+# Incremental top-k (decomposable merge)
+# ---------------------------------------------------------------------
+
+_BASE_SPLIT = 400  # vec_id < 400 = already-indexed base; rest = delta
+
+
+@register(
+    "ann_topk_incremental",
+    oracle=f"""
+    WITH e AS ({_E_SQL}),
+    norms AS ({_NORMS_SQL}),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(q.xq * c.xq) AS dot
+      FROM e q JOIN e c ON q.i = c.i
+      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_COSINE_SQL} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COSINE_SQL} DESC, neighbor_id
+             ) AS rank
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine
+    FROM scored WHERE rank <= {_TOP_K}
+    """,
+    tags=("similarity", "ann", "incremental"),
+)
+def ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k (the EDBT'20 interactive-session contract):
+    when a delta of new vectors lands, merge the k best from the
+    already-indexed BASE with the k best from the DELTA instead of
+    rescanning everything — exact because top-k is decomposable
+    (any global top-k row is a top-k row of its own part). The oracle
+    is the GLOBAL brute-force query, so the driver proves the
+    decomposition loses nothing, bit for bit.
+
+    Scale shape: the base-side top-k is what an index/previous session
+    already holds (here recomputed for the proof); the delta side
+    scans only new rows — at 100 TB with a daily delta this turns a
+    full-corpus scan into a delta scan plus a 2k-row-per-query merge.
+    The merge window sees at most 2k rows per query."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = ops.cosine_topk(
+        emb.filter(F.col("vec_id") < _BASE_SPLIT),
+        "vec_id", "embedding",
+        F.col("vec_id") < _N_QUERIES, k=_TOP_K,
+    )
+    # delta part: queries still come from the query set; corpus rows
+    # are only the new arrivals
+    delta = ops.cosine_topk(
+        emb.filter(
+            (F.col("vec_id") >= _BASE_SPLIT)
+            | (F.col("vec_id") < _N_QUERIES)
+        ),
+        "vec_id", "embedding",
+        F.col("vec_id") < _N_QUERIES, k=_TOP_K,
+    ).filter(F.col("neighbor_id") >= _BASE_SPLIT)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        base.unionByName(delta)
+        .select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

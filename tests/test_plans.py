@@ -452,3 +452,11 @@ class TestQuality2Plans:
         assert "BroadcastNestedLoopJoin" in plan  # broadcast query side
         assert "CartesianProduct" not in plan
         assert plan.count("Window") >= 2
+
+    def test_incremental_topk_merge_is_bounded(self, spark, sf_dir):
+        """Both part top-ks broadcast their query side; the merge
+        window sees at most 2k rows per query — no global re-sort of
+        scores, no cartesian beyond the broadcast fronts."""
+        plan = plan_of(spark, sf_dir, "ann_topk_incremental")
+        assert "CartesianProduct" not in plan
+        assert "Union" in plan
