@@ -464,3 +464,63 @@ class TestDedupInvariants:
         out = exact_dedup(d, "doc_id", "text").collect()
         assert sum(r["n_copies"] for r in out) == d.count()
         assert {r["keeper_doc"] for r in out} == {1, 3, 4}  # min id kept
+
+
+class TestMinhashCross:
+    """minhash_lsh_cross: cross-corpus decontamination on constructed
+    corpora — an exact duplicate across the boundary, a near-dup, and
+    an unrelated document."""
+
+    def _corpus(self, spark):
+        rows = [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "the quick brown fox jumps over the lazy cat today"),
+            (102, "a completely different document about spark shuffles"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _bench(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "unrelated benchmark question about database joins"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cross_duplicate_found_unrelated_not(self, spark):
+        from bend_archiver_spark.operators.dedup import minhash_lsh_cross
+
+        pairs = minhash_lsh_cross(
+            self._corpus(spark), self._bench(spark), "doc_id", "text",
+            threshold=0.5,
+        ).collect()
+        by_pair = {(r["doc_id"], r["bench_id"]): r["jaccard"] for r in pairs}
+        assert by_pair[(100, 1)] == 1.0  # verbatim leak across corpora
+        # the unrelated bench doc matches nothing
+        assert not any(b == 2 for (_, b) in by_pair)
+        # pair direction is (corpus, bench) — never bench-side ids first
+        assert all(c >= 100 and b < 100 for (c, b) in by_pair)
+
+    def test_cross_deterministic_and_symmetric_frontend(self, spark):
+        from bend_archiver_spark.operators.dedup import (
+            minhash_lsh_cross,
+            minhash_lsh_dedup,
+        )
+
+        # the cross jaccard for (corpus_doc, bench_doc) must equal the
+        # within-corpus jaccard of the same two texts: one shared
+        # signature front end, no side-dependent normalization
+        cross = minhash_lsh_cross(
+            self._corpus(spark), self._bench(spark), "doc_id", "text",
+            threshold=0.3,
+        ).collect()
+        union = self._corpus(spark).unionByName(self._bench(spark))
+        within = minhash_lsh_dedup(
+            union, "doc_id", "text", threshold=0.3
+        ).collect()
+        w = {
+            frozenset((r["doc_a"], r["doc_b"])): r["jaccard"]
+            for r in within
+        }
+        for r in cross:
+            key = frozenset((r["doc_id"], r["bench_id"]))
+            assert key in w and w[key] == r["jaccard"]
