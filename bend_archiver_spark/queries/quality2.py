@@ -626,3 +626,155 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         "n_bigrams", "total_bits", "n_tokens", "score_bits",
     )
+
+
+# ---------------------------------------------------------------------
+# BPE training loop (3 unrolled merge rounds)
+# ---------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _o_seg_round(prev: str, rnd: int) -> str:
+    """One oracle round: pair counts over the current segmentation,
+    argmax merge (count desc, pair asc — a total order), greedy
+    left-to-right application via a list_reduce fold."""
+    return f"""
+p{rnd} AS (
+  SELECT p.s.a AS a, p.s.b AS b, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+  FROM (SELECT cnt,
+               unnest(list_transform(range(1, len(seg)),
+                      i -> struct_pack(a := seg[i], b := seg[i+1]))) AS s
+        FROM {prev} WHERE len(seg) >= 2) p
+  GROUP BY 1, 2),
+m{rnd} AS (
+  SELECT a, b, pair_cnt FROM p{rnd}
+  ORDER BY pair_cnt DESC, a, b LIMIT 1),
+seg{rnd} AS (
+  SELECT w, cnt,
+         list_reduce(list_transform(seg, x -> [x]), (acc, x) ->
+           CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                 acc[-1] || x[1])
+                ELSE list_concat(acc, x) END) AS seg
+  FROM {prev} CROSS JOIN m{rnd} m)"""
+
+
+_BPE_TRAIN_ORACLE = (
+    r"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w),
+seg0 AS (
+  SELECT w, cnt,
+         list_transform(range(1, length(w) + 1),
+                        i -> substr(w, i, 1)) AS seg
+  FROM words),"""
+    + ",".join(_o_seg_round(f"seg{r - 1}", r) for r in range(1, _BPE_ROUNDS + 1))
+    + "".join(
+        f"""
+SELECT {r} AS merge_rank, a, b, pair_cnt FROM m{r}
+{'UNION ALL' if r < _BPE_ROUNDS else ''}"""
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+
+def _pair_counts(seg_df: DataFrame) -> DataFrame:
+    seg = F.col("seg")
+    z = F.arrays_zip(
+        F.slice(seg, 1, F.size(seg) - 1).alias("a"),
+        F.slice(seg, 2, F.size(seg) - 1).alias("b"),
+    )
+    return (
+        seg_df.filter(F.size("seg") >= 2)
+        .select("cnt", F.explode(z).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").cast("bigint").alias("pair_cnt"))
+    )
+
+
+def _apply_merge(seg_df: DataFrame, merge_df: DataFrame) -> DataFrame:
+    """Greedy left-to-right merge application: fold the symbol array,
+    fusing every (a, b) adjacency into one symbol. The 1-row argmax
+    merge broadcasts; the fold is a per-row array HOF."""
+    m = F.broadcast(
+        merge_df.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
+    )
+    folded = F.aggregate(
+        F.col("seg"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.col("_ma"))
+            & (x == F.col("_mb")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return seg_df.crossJoin(m).select(
+        "w", "cnt", folded.alias("seg")
+    )
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_BPE_TRAIN_ORACLE,
+    tags=("text", "tokenization", "bpe", "iterative"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, three full merge rounds (Sennrich et
+    al. 2016): round r counts adjacent symbol pairs over the current
+    segmentation weighted by word frequency, picks the argmax pair
+    (count desc, pair asc — total order), and re-segments by greedy
+    left-to-right fusion. Returns the learned merge table
+    (merge_rank, a, b, pair_cnt) — the artifact a tokenizer ships.
+    Unlike text_bpe_merge_candidates (one round of statistics), this
+    is the actual data-dependent training LOOP, exactly oracled: each
+    round's argmax feeds the next round's segmentation in both
+    engines.
+
+    Scale shape: training runs on the word-FREQUENCY table, not the
+    corpus — one corpus-sized shuffle builds (word, count), and every
+    round after that is vocabulary-bounded: pair counting is a
+    combinable groupBy over the vocab, the 1-row argmax broadcasts,
+    and merge application is a per-row array fold. Adding rounds adds
+    constant-size plan stages (same property as the power-iteration
+    operator), never another corpus pass."""
+    d = fanout(t(spark, sf_dir, "documents"))
+    words = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    seg0 = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    seg_df = words.select("w", "cnt", seg0.alias("seg"))
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        argmax = (
+            _pair_counts(seg_df)
+            .orderBy(F.desc("pair_cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        merges.append(
+            argmax.select(
+                F.lit(rnd).cast("int").alias("merge_rank"),
+                "a", "b", "pair_cnt",
+            )
+        )
+        if rnd < _BPE_ROUNDS:
+            seg_df = _apply_merge(seg_df, argmax)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

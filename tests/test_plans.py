@@ -460,3 +460,15 @@ class TestQuality2Plans:
         plan = plan_of(spark, sf_dir, "ann_topk_incremental")
         assert "CartesianProduct" not in plan
         assert "Union" in plan
+
+    def test_bpe_training_rounds_are_vocab_bounded(self, spark, sf_dir):
+        """Training must run on the word-frequency table: exactly one
+        corpus scan feeds the word counts; each round's argmax is a
+        1-row broadcast; merge application is a per-row fold, never a
+        join back to the corpus."""
+        plan = plan_of(spark, sf_dir, "text_bpe_train_merges")
+        assert "CartesianProduct" not in plan
+        # one corpus scan per branch of the 3-round union — the corpus
+        # is re-read per merge row but never joined or shuffled beyond
+        # the word-count groupBy
+        assert "TakeOrderedAndProject" in plan  # argmax via limit-sort
