@@ -42,6 +42,7 @@ QUERIES = [
     "text_bigram_lm_bits",
     "pipeline_dsir_importance",
     "text_bpe_merge_candidates",
+    "text_bpe_train_merges",
     "agg_kmv_distinct_sketch",
     "pipeline_curate_v2",
 ]
