@@ -10,9 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..queries.base import fanout, hash64_expr
+from ..queries.base import fanout, hash64_expr, ngram_array
 
 __all__ = [
+    "ngram_array",
     "exact_dedup",
     "shingle",
     "jaccard_pairs",
@@ -65,14 +66,7 @@ def shingle(
     the compact pre-explode rows."""
     df = fanout(df)
     arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    sz = F.size(arr)
-    shingles = F.when(
-        sz >= n,
-        F.transform(
-            F.sequence(F.lit(0), sz - n),
-            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, F.lit(n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    shingles = ngram_array(arr, n)
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("tok"))
         .distinct()
@@ -140,14 +134,7 @@ def minhash_signatures(
     every downstream consumer."""
     src = fanout(df)
     arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    sz = F.size(arr)
-    sh = F.when(
-        sz >= ngram,
-        F.transform(
-            F.sequence(F.lit(0), sz - ngram),
-            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, F.lit(ngram))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = ngram_array(arr, ngram)
     hvs = F.transform(
         F.array_distinct(sh), lambda s: hash64_expr(s) % P31
     )

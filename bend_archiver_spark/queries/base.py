@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 
-__all__ = ["QuerySpec", "REGISTRY", "register", "t", "fanout", "dec_sum", "dec_avg", "hash64_expr", "HASH64_SQL"]
+__all__ = ["QuerySpec", "REGISTRY", "register", "t", "fanout", "dec_sum", "dec_avg", "hash64_expr", "HASH64_SQL", "ngram_array"]
 
 
 @dataclass
@@ -171,3 +171,24 @@ def hash64_sql(expr: str) -> str:
 
 
 HASH64_SQL = hash64_sql
+
+
+def ngram_array(arr: Column, n: int) -> Column:
+    """Word n-gram strings from a token array via n zipped shifted
+    slices — empty array for inputs shorter than n.
+
+    NOT equivalent in cost to the obvious
+    ``transform(sequence(0, sz-n), i -> concat_ws(' ', slice(arr,
+    i+1, n)))``: that lambda re-evaluates ``arr`` — typically a
+    split() over the whole document — for EVERY element, O(tokens^2)
+    work per document (measured 9.6 s for 64 docs x 4k tokens at
+    n=3; this form: O(n*tokens), sub-second). Each slice here
+    evaluates ``arr`` a constant number of times per ROW, and the
+    zip_with lambdas touch only their own arguments."""
+    sz = F.size(arr)
+    cnt = sz - n + 1
+    parts = [F.slice(arr, i + 1, cnt) for i in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.zip_with(out, p, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(sz >= n, out).otherwise(F.array().cast("array<string>"))

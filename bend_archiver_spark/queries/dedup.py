@@ -74,14 +74,7 @@ def _tokens(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFram
     """
     d = t(spark, sf_dir, "documents")
     arr = F.split(F.trim(F.lower("text")), r"\s+")
-    n = F.size(arr)
-    shingles = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, F.lit(3))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    shingles = ops.ngram_array(arr, 3)
     out = d.select("doc_id", F.explode(shingles).alias("tok")).distinct()
     return out.persist() if persist else out
 

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators.sketch import sketch_gated_topk
 from ..operators.skew import salted_topk
-from .base import fanout, hash64_sql, hash64_expr, register, t
+from .base import fanout, hash64_sql, hash64_expr, ngram_array, register, t
 
 # ---------------------------------------------------------------------
 # Hashed-ngram linear quality classifier
@@ -210,10 +210,7 @@ def text_duplicated_ngram_fraction(
     (same in the oracle)."""
     d = fanout(t(spark, sf_dir, "documents"))
     arr = F.split(F.trim(F.lower("text")), r"\s+")
-    grams_arr = F.transform(
-        F.sequence(F.lit(0), F.size(arr) - _NG),
-        lambda i: F.concat_ws(" ", F.slice(arr, i + 1, F.lit(_NG))),
-    )
+    grams_arr = ngram_array(arr, _NG)
     # join/aggregate on the 60-bit gram hash, not the string: shuffles
     # int64 keys (collision odds negligible and identical in intent —
     # the oracle joins strings; values agree because the hash is
