@@ -340,3 +340,93 @@ def timeseries_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w)
         ).alias("ma7"),
     )
+
+
+# ---------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------
+
+_SEASON = 7  # weekly seasonality
+
+
+@register(
+    "timeseries_seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(38,6))) AS v
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events),
+    spine AS (
+      SELECT t.event_type, CAST(s.day AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(
+                    (SELECT d0 FROM bounds), (SELECT d1 FROM bounds),
+                    INTERVAL 1 DAY)) AS day) s),
+    dense AS (
+      SELECT sp.event_type, sp.day,
+             COALESCE(d.v, CAST(0 AS DECIMAL(38,6))) AS v
+      FROM spine sp LEFT JOIN daily d
+        ON d.event_type = sp.event_type AND d.day = sp.day),
+    scored AS (
+      SELECT event_type, day, v,
+             lag(v, {_SEASON}) OVER (
+               PARTITION BY event_type ORDER BY day) AS fc
+      FROM dense)
+    SELECT event_type,
+           CAST(COUNT(fc) AS BIGINT) AS n_scored,
+           CAST(SUM(abs(v - fc)) AS DOUBLE) AS total_abs_err,
+           CAST(SUM(abs(v - fc)) AS DOUBLE) / COUNT(fc) AS mae
+    FROM scored WHERE fc IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "forecast", "backtest"),
+)
+def timeseries_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    total as the value seven days earlier (the baseline every real
+    forecasting system must beat) and score it with MAE over the
+    densified history. The spine is densified per type BEFORE the lag
+    so the seasonal offset counts calendar days, not observed days —
+    the correctness subtlety sparse series get wrong.
+
+    Exactness: daily totals stay DECIMAL(38,6) through the lag and
+    the |error| sum (doubles would make the MAE partition-order
+    dependent); one double cast at the end. Scale shape: the daily
+    aggregate map-side combines to one row per (type, day); the spine
+    is types x days (tiny, broadcast); the lag window partitions by
+    event_type over day-count-bounded groups."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(38,6)")).alias("v"))
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = (
+        e.select("event_type").distinct()
+        .crossJoin(
+            F.broadcast(
+                bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+            )
+        )
+    )
+    dense = spine.join(F.broadcast(daily), ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("v", F.lit(0).cast("decimal(38,6)")).alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = dense.withColumn("fc", F.lag("v", _SEASON).over(w)).filter(
+        F.col("fc").isNotNull()
+    )
+    abs_err = F.abs(F.col("v") - F.col("fc"))
+    return scored.groupBy("event_type").agg(
+        F.count("fc").cast("bigint").alias("n_scored"),
+        F.sum(abs_err).cast("double").alias("total_abs_err"),
+        (F.sum(abs_err).cast("double") / F.count("fc")).alias("mae"),
+    )
