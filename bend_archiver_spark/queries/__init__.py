@@ -27,5 +27,6 @@ from . import embedding2  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
 from . import quality2  # noqa: F401,E402
 from . import streaming_twins  # noqa: F401,E402
+from . import dedup2  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec"]

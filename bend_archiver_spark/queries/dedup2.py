@@ -1,0 +1,217 @@
+"""Second-wave dedup operators: asymmetric containment and
+content-defined chunking.
+
+Near-dup pipelines built on Jaccard miss the *excerpt* case — a short
+document wholly quoted inside a long one has high containment but low
+Jaccard (the union is dominated by the long side). ``
+dedup_containment_pairs`` measures the directed containment
+C(A->B) = |A ∩ B| / |A| over 3-gram shingle sets, the signal used to
+drop quotes/mirrors of canonical pages from training corpora.
+
+``pipeline_cdc_chunks`` is content-defined chunking (the rolling-hash
+boundary trick from LBFS/rsync, applied to token streams): a token
+whose content hash lands in 1/8 of the hash space ENDS a chunk, so
+chunk boundaries depend only on local content and re-align after
+insertions/deletions — unlike fixed-size chunking, an edited document
+still shares most chunk hashes with its original. The chunk stream
+feeds chunk-level dedup stats (which documents are assembled from
+text that exists elsewhere).
+
+Both have exact DuckDB oracles on the portable 60-bit md5 hash.
+
+Scale design: containment reuses the shingle posting-list equi-join
+(cost = gram collisions, never a cartesian; at 100 TB restrict it to
+LSH candidates exactly like jaccard verification). CDC boundary
+detection is *entirely map-side* — boundary markers are injected into
+the token array with array HOFs and the chunk split is a per-row
+regex, zero shuffles until the vocabulary-bounded chunk-hash groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as ops
+from .base import fanout, hash64_expr, hash64_sql, register, t
+
+_CONTAINMENT_THRESHOLD = 0.6
+_MIN_SHINGLES = 5  # tiny shingle sets make containment trivially high
+
+# 3-gram shingles — must match queries/dedup.py's _TOKS_SQL so the
+# containment numbers are comparable with the Jaccard pairs.
+_TOKS_SQL = r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents
+    )
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(0, greatest(len(arr) - 2, 0)),
+                  i -> array_to_string(list_slice(arr, i + 1, i + 3), ' '))) AS tok
+    FROM words
+"""
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(n_inter AS DOUBLE) / sa.n AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE sa.n >= {_MIN_SHINGLES}
+      AND CAST(n_inter AS DOUBLE) / sa.n >= {_CONTAINMENT_THRESHOLD}
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment C(A->B) = |A∩B| / |A| >= 0.6 —
+    the excerpt/quote detector Jaccard misses when |B| >> |A|
+    (Broder 1997 defines both resemblance AND containment; near-dup
+    tooling usually ships only the former). Pairs come from the same
+    posting-list equi-join as ``dedup_ngram_jaccard`` (cost = gram
+    collisions, no cartesian); only the normalization differs: divide
+    by the CONTAINED side's shingle count instead of the union. At
+    100 TB the pair stream is restricted to LSH candidates via
+    ``operators.dedup.jaccard_pairs(candidates=...)`` exactly like
+    Jaccard verification."""
+    d = t(spark, sf_dir, "documents")
+    toks = ops.shingle(d, "doc_id", "text")
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        ta.join(tb, "tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    containment = F.col("n_inter").cast("double") / F.col("n_a")
+    return (
+        inter.join(sa, "doc_a")
+        .filter(
+            (F.col("n_a") >= _MIN_SHINGLES)
+            & (containment >= _CONTAINMENT_THRESHOLD)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            containment.alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Content-defined chunking
+# ---------------------------------------------------------------------
+
+_CDC_MOD = 8  # expected chunk length = 8 tokens
+_SEP = "\x01"  # cannot survive a \\s+ split; oracle twin is chr(1)
+
+
+def _boundary(tok):
+    """Token-content boundary predicate (1/_CDC_MOD of hash space)."""
+    h = F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+    return h % _CDC_MOD == 0
+
+
+_CDC_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id,
+             array_to_string(list_transform(arr, tok -> tok ||
+               CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT)
+                         % {_CDC_MOD} = 0
+                    THEN chr(1) ELSE '' END), ' ') AS body
+      FROM words
+    ),
+    ch AS (
+      SELECT doc_id, {hash64_sql('chunk')} AS h
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(body, chr(1) || ' ?')) AS chunk
+        FROM marked
+      )
+      WHERE chunk <> ''
+    ),
+    counts AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_chunk_frac
+    FROM ch JOIN counts USING (h)
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "pipeline_cdc_chunks",
+    oracle=_CDC_ORACLE,
+    tags=("pipeline", "dedup", "chunking"),
+)
+def pipeline_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level cross-document dup
+    stats. A token whose 60-bit content hash ≡ 0 (mod 8) ends a chunk
+    (expected length 8 tokens), so boundaries are a pure function of
+    local content: insert a sentence into a document and every chunk
+    outside the edit keeps its hash — the property fixed-size chunking
+    (``pipeline_chunk_documents``) lacks, and the reason CDC is the
+    unit for storage dedup (LBFS, rsync, restic) and works for corpus
+    dedup too.
+
+    Plan shape: boundary markers are injected inside the token array
+    by a ``transform`` whose lambda touches only its own argument
+    (SCALE.md rule 5), the chunk split is one per-row regex — the
+    entire chunker is map-only, zero exchanges. The only shuffles are
+    the chunk-hash groupBy (distinct-chunk-bounded, int64 keys) and
+    the per-doc rollup, the same two-combinable-groupBy shape as
+    ``text_duplicated_ngram_fraction``. A chunk repeated inside ONE
+    document is not "duplicated" — nd counts distinct documents."""
+    d = fanout(t(spark, sf_dir, "documents"))
+    arr = F.split(F.trim(F.lower("text")), r"\s+")
+    marked = F.transform(
+        arr,
+        lambda tok: F.concat(
+            tok,
+            F.when(_boundary(tok), F.lit(_SEP)).otherwise(F.lit("")),
+        ),
+    )
+    chunks_arr = F.split(F.array_join(marked, " "), _SEP + " ?")
+    # Persist barrier (SCALE.md rule 4): the chunk stream has two
+    # consumers (cross-doc counts + the per-doc probe); without the
+    # barrier CollapseProject re-runs the explode+md5 chunker for
+    # each. Persisted form is two int64s per chunk — compact, spills.
+    ch = (
+        d.select("doc_id", F.explode(chunks_arr).alias("chunk"))
+        .filter(F.col("chunk") != "")
+        .select("doc_id", hash64_expr(F.col("chunk")).alias("h"))
+        .persist()
+    )
+    counts = ch.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        ch.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(dup).cast("bigint").alias("dup_chunks"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias(
+                "dup_chunk_frac"
+            ),
+        )
+    )

@@ -472,3 +472,27 @@ class TestQuality2Plans:
         # is re-read per merge row but never joined or shuffled beyond
         # the word-count groupBy
         assert "TakeOrderedAndProject" in plan  # argmax via limit-sort
+
+
+class TestDedup2Plans:
+    def test_containment_is_posting_list_equi_join(self, spark, sf_dir):
+        """Containment pairs come from the same tok equi-join as
+        Jaccard verification — never a cartesian over documents."""
+        plan = plan_of(spark, sf_dir, "dedup_containment_pairs")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_cdc_chunker_map_side_behind_barrier(self, spark, sf_dir):
+        """The CDC boundary trick (markers injected inside the token
+        array, chunks from one per-row regex split) needs no
+        posexplode+window and no join for boundary detection — and the
+        chunk stream sits behind a persist barrier so its two
+        consumers (cross-doc counts + per-doc probe) share ONE run of
+        the explode+md5 chunker. Every Generate in the rendered plan
+        must be inside the cached relation (one per InMemoryTableScan
+        printout), never a fresh uncached explode."""
+        plan = plan_of(spark, sf_dir, "pipeline_cdc_chunks")
+        assert "InMemoryTableScan" in plan
+        assert plan.count("Generate") <= plan.count("InMemoryTableScan")
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan  # no per-doc running-sum fallback
