@@ -496,3 +496,26 @@ class TestDedup2Plans:
         assert plan.count("Generate") <= plan.count("InMemoryTableScan")
         assert "CartesianProduct" not in plan
         assert "Window" not in plan  # no per-doc running-sum fallback
+
+
+class TestGraphRankAndSamplingPlans:
+    def test_pagerank_iterations_are_node_bounded(self, spark, sf_dir):
+        """Edges, nodes, and the 1-row node count sit behind persist
+        barriers, so the 3 rank iterations join cached node-bounded
+        tables instead of re-scanning events per iteration; no
+        cartesian anywhere (the node-count join is a deliberate 1-row
+        broadcast)."""
+        plan = plan_of(spark, sf_dir, "graph_pagerank_event_types")
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_priority_sample_is_heap_topk_plus_broadcast_tau(
+        self, spark, sf_dir
+    ):
+        """The top-(k+1) comes from TakeOrderedAndProject (per-
+        partition heap + driver merge, never a global sort) and the
+        threshold tau joins back as a 1-row broadcast."""
+        plan = plan_of(spark, sf_dir, "pipeline_priority_sample")
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row tau
+        assert "Exchange hashpartitioning" not in plan  # no data shuffle
