@@ -215,3 +215,131 @@ def pipeline_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# LSH candidate-quality audit
+# ---------------------------------------------------------------------
+
+
+@register(
+    "dedup_lsh_eval",
+    oracle=None,  # replaced below — needs pieces from queries.dedup
+    tags=("dedup", "minhash", "evaluation"),
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-audit of the MinHash-LSH candidate generator: precision
+    and recall of band-collision candidates against ground truth
+    (exact Jaccard >= 0.7 over the same hashed shingle sets), as one
+    row of exact counts + derived ratios. This is the query that
+    answers "are 4 bands x 4 rows the right operating point for THIS
+    corpus" — run it on a sample before committing a 100 TB dedup
+    pass to a band configuration (tighter bands -> precision up,
+    recall down).
+
+    Scale: candidates and truth are both pair tables persisted once
+    (each has two consumers: the hit join and its own count); truth
+    is the posting-list equi-join (gram collisions, not O(n^2)), and
+    at 100 TB you'd run this audit on a hash-sampled slice — the
+    operator composes with ``pipeline_hash_sample``."""
+    from .dedup import _JACCARD_THRESHOLD, _N_BANDS, _PERMS
+
+    d = t(spark, sf_dir, "documents")
+    with_h, sig = ops.minhash_signatures(
+        d, "doc_id", "text", 3, _PERMS, persist=True
+    )
+    bands = ops.minhash_bands(sig, len(_PERMS), _N_BANDS)
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    cand = (
+        ba.join(bb, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist()
+    )
+    hashed = with_h.select("doc_id", F.explode("hvs").alias("tok"))
+    sizes = sig.select("doc_id", "n")
+    truth = (
+        ops.jaccard_pairs(hashed, _JACCARD_THRESHOLD, sizes=sizes)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    hits = cand.join(truth, ["doc_a", "doc_b"])
+    return (
+        cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        .crossJoin(
+            truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_hits",
+            F.expr(
+                "cast(n_hits as double) / nullif(n_candidates, 0)"
+            ).alias("precision"),
+            F.expr("cast(n_hits as double) / nullif(n_truth, 0)").alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _lsh_eval_oracle() -> str:
+    from .dedup import (
+        _JACCARD_THRESHOLD,
+        _P,
+        _TOKS_SQL as _DEDUP_TOKS_SQL,
+        _band_union_sql,
+        _minhash_sig_sql,
+    )
+
+    return f"""
+    WITH toks AS ({_DEDUP_TOKS_SQL}),
+    h AS (SELECT doc_id, ({hash64_sql('tok')} % {_P}) AS hv FROM toks),
+    {_minhash_sig_sql()},
+    bands AS ({_band_union_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
+    inter AS (
+      SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM h ta JOIN h tb ON tb.hv = ta.hv AND ta.doc_id < tb.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+            >= {_JACCARD_THRESHOLD}
+    ),
+    hits AS (
+      SELECT c.doc_a FROM cand c
+      JOIN truth tr ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+             (SELECT COUNT(*) FROM truth) AS n_truth,
+             (SELECT COUNT(*) FROM hits) AS n_hits
+    )
+    SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / nullif(n_candidates, 0) AS precision,
+           CAST(n_hits AS DOUBLE) / nullif(n_truth, 0) AS recall
+    FROM counts
+    """
+
+
+# the oracle needs constants from queries.dedup; fill it in after both
+# modules are importable (registration order is fixed in __init__.py)
+from .base import REGISTRY as _REG  # noqa: E402
+
+_REG["dedup_lsh_eval"].oracle = _lsh_eval_oracle()

@@ -519,3 +519,24 @@ class TestGraphRankAndSamplingPlans:
         assert "TakeOrderedAndProject" in plan
         assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row tau
         assert "Exchange hashpartitioning" not in plan  # no data shuffle
+
+
+class TestArchiver2AndEvalPlans:
+    def test_snapshot_diff_copartitioned_full_outer(self, spark, sf_dir):
+        """Both snapshots hash on the entity key for their windows and
+        the diff reuses that layout in a key-equi full outer join —
+        corpus-sized sides, so a (broadcast) nested loop or cartesian
+        here would be wrong at scale."""
+        plan = plan_of(spark, sf_dir, "archive_snapshot_diff")
+        assert "FullOuter" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_lsh_eval_persists_pair_tables(self, spark, sf_dir):
+        """Candidates and truth each feed two consumers (hit join +
+        count); both must sit behind persist barriers, and the only
+        nested-loop joins are the two 1-row count crossJoins."""
+        plan = plan_of(spark, sf_dir, "dedup_lsh_eval")
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 2
