@@ -778,3 +778,186 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+_BPE_ENCODE_ORACLE = (
+    r"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w),
+seg0 AS (
+  SELECT w, cnt,
+         list_transform(range(1, length(w) + 1),
+                        i -> substr(w, i, 1)) AS seg
+  FROM words),"""
+    + ",".join(_o_seg_round(f"seg{r - 1}", r) for r in range(1, _BPE_ROUNDS + 1))
+    + f""",
+enc AS (SELECT w, CAST(len(seg) AS BIGINT) AS sym_cnt FROM seg{_BPE_ROUNDS}),
+docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM documents)
+  WHERE w <> '')
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(sym_cnt) AS BIGINT) AS n_bpe_symbols,
+       CAST(SUM(sym_cnt) AS DOUBLE) / COUNT(*) AS symbols_per_token
+FROM docw JOIN enc USING (w)
+GROUP BY doc_id"""
+)
+
+
+@register(
+    "text_bpe_encode_corpus",
+    oracle=_BPE_ENCODE_ORACLE,
+    tags=("text", "tokenization", "bpe"),
+)
+def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of the tokenizer loop: train 3 BPE merges
+    (exactly ``text_bpe_train_merges``' loop, including the final
+    application the trainer itself skips), then ENCODE the corpus
+    with them — per document: whitespace tokens, post-merge symbol
+    count, and symbols-per-token (the compression the learned merges
+    buy; 1.0 = merges never fired in that document).
+
+    Scale shape: encoding is vocabulary-sized, not corpus-sized — the
+    merges are applied once per DISTINCT word (the ``enc`` word →
+    symbol-count table), and the corpus only pays a token→vocab
+    equi-join plus one per-doc combinable groupBy. This is how real
+    tokenizer pipelines amortize encoding (encode the vocab, then
+    look up), and it keeps the 3-round merge machinery off the
+    100 TB token stream entirely."""
+    d = fanout(t(spark, sf_dir, "documents"))
+    words = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    seg0 = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    seg_df = words.select("w", "cnt", seg0.alias("seg"))
+    for _ in range(_BPE_ROUNDS):
+        argmax = (
+            _pair_counts(seg_df)
+            .orderBy(F.desc("pair_cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        seg_df = _apply_merge(seg_df, argmax)
+    enc = seg_df.select("w", F.size("seg").cast("bigint").alias("sym_cnt"))
+    docw = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    return (
+        docw.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ws_tokens"),
+            F.sum("sym_cnt").cast("bigint").alias("n_bpe_symbols"),
+            (
+                F.sum("sym_cnt").cast("double") / F.count(F.lit(1))
+            ).alias("symbols_per_token"),
+        )
+    )
+
+
+@register(
+    "agg_kmv_merge_sources",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents),
+    h AS (SELECT DISTINCT source, {hash64_sql('w')} AS h FROM tok),
+    ranked AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS r
+      FROM h),
+    sketches AS (SELECT DISTINCT h FROM ranked WHERE r <= {_KMV_K}),
+    merged AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS r FROM sketches),
+    mk AS (
+      SELECT CAST(MAX(h) AS BIGINT) AS kth_min,
+             CAST(COUNT(*) AS BIGINT) AS n_in_sketch
+      FROM merged WHERE r <= {_KMV_K}),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM (SELECT DISTINCT {hash64_sql('w')} AS h FROM tok)),
+    ns AS (
+      SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM documents)
+    SELECT ns.n_sources, ex.n_distinct, mk.kth_min, mk.n_in_sketch,
+           CASE WHEN mk.n_in_sketch < {_KMV_K}
+                THEN CAST(ex.n_distinct AS DOUBLE)
+                ELSE ({_KMV_K - 1}.0 * {_TWO60!r})
+                       / CAST(mk.kth_min AS DOUBLE) END AS est_distinct
+    FROM ns, ex, mk
+    """,
+    tags=("agg", "sketch", "cardinality", "merge"),
+)
+def agg_kmv_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches worth shipping: MERGEABILITY.
+    Build an independent KMV sketch per source (k smallest distinct
+    token hashes), then merge them — set-union the per-source minima
+    and keep the k smallest — and estimate GLOBAL distinct tokens
+    from the merged sketch alone, next to the exact global count for
+    audit. At 100 TB this is the two-level rollup exact distinct
+    cannot do: per-shard sketches are k·8 bytes each, merge cost is
+    k·n_sources rows through one bounded top-k, and no re-shuffle of
+    the original hash set ever happens (contrast ``ex`` here, which
+    pays the full corpus-wide distinct and exists only as the audit).
+
+    The merged estimator uses the identical fixed-order IEEE
+    expression as ``agg_kmv_distinct_sketch``; merging k-minima sets
+    is associative and commutative, so any merge tree gives the same
+    sketch — the distributed-safety argument, in sketch form."""
+    from ..operators.skew import salted_topk
+
+    d = fanout(t(spark, sf_dir, "documents"))
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    )
+    hh = tok.select("source", hash64_expr(F.col("w")).alias("h"))
+    h = hh.distinct()
+    kmin = salted_topk(
+        h,
+        "source",
+        [F.asc("h")],
+        _KMV_K,
+        salt_expr=F.xxhash64(F.col("h")),
+        rank_alias="r",
+    )
+    # sketch union = set union of the per-source minima, keep k smallest
+    merged = (
+        kmin.select("h").distinct().orderBy(F.asc("h")).limit(_KMV_K)
+    )
+    mk = merged.agg(
+        F.max("h").cast("bigint").alias("kth_min"),
+        F.count(F.lit(1)).cast("bigint").alias("n_in_sketch"),
+    )
+    ex = hh.select("h").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    )
+    ns = d.agg(F.count_distinct("source").cast("bigint").alias("n_sources"))
+    est = F.when(
+        F.col("n_in_sketch") < _KMV_K, F.col("n_distinct").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1) * _TWO60) / F.col("kth_min").cast("double")
+    )
+    return (
+        ns.crossJoin(ex)
+        .crossJoin(mk)
+        .select(
+            "n_sources", "n_distinct", "kth_min", "n_in_sketch",
+            est.alias("est_distinct"),
+        )
+    )

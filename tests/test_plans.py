@@ -540,3 +540,24 @@ class TestArchiver2AndEvalPlans:
         assert "InMemoryTableScan" in plan
         assert "CartesianProduct" not in plan
         assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+class TestTokenizerAndSketchMergePlans:
+    def test_bpe_encode_vocab_join_no_cartesian(self, spark, sf_dir):
+        """Encoding must be vocabulary-sized: merges apply to the
+        distinct-word table (1-row argmax broadcasts only), and the
+        corpus pays an equi-join on the word — never a cartesian, and
+        every argmax is a heap top-1."""
+        plan = plan_of(spark, sf_dir, "text_bpe_encode_corpus")
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+        assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+    def test_kmv_merge_is_bounded_topk(self, spark, sf_dir):
+        """The sketch merge sorts only the union of per-source minima
+        (<= k * n_sources rows) through one heap top-k; the final
+        assembly is two 1-row crossJoins."""
+        plan = plan_of(spark, sf_dir, "agg_kmv_merge_sources")
+        assert plan.count("TakeOrderedAndProject") == 1
+        assert plan.count("BroadcastNestedLoopJoin") == 2
+        assert "CartesianProduct" not in plan
