@@ -31,5 +31,6 @@ from . import dedup2  # noqa: F401,E402
 from . import graphrank  # noqa: F401,E402
 from . import pipeline2  # noqa: F401,E402
 from . import archiver2  # noqa: F401,E402
+from . import analytics2  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec"]

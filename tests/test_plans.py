@@ -561,3 +561,25 @@ class TestTokenizerAndSketchMergePlans:
         assert plan.count("TakeOrderedAndProject") == 1
         assert plan.count("BroadcastNestedLoopJoin") == 2
         assert "CartesianProduct" not in plan
+
+
+class TestAnalytics2Plans:
+    def test_exact_median_uses_two_phase_prefix_rank(self, spark, sf_dir):
+        """The global rank must come from the distributed prefix sum:
+        per-partition windows keyed on the physical partition id with
+        broadcast offsets — the only SinglePartition window allowed is
+        the per-partition-TOTALS scan (one row per partition). The
+        range exchange itself is hidden behind prefix_sum's
+        localCheckpoint, so the _pid machinery is the pin."""
+        plan = plan_of(spark, sf_dir, "agg_exact_median_distributed")
+        assert "_pid" in plan
+        assert "BroadcastHashJoin" in plan  # offsets join back
+        assert "CartesianProduct" not in plan
+
+    def test_cohort_retention_combinable_aggs(self, spark, sf_dir):
+        """Cohort min and the (user, week) distinct both combine
+        map-side; no cartesian anywhere."""
+        plan = plan_of(spark, sf_dir, "events_cohort_retention")
+        assert "partial_min" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
