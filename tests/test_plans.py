@@ -583,3 +583,15 @@ class TestAnalytics2Plans:
         assert "partial_min" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestMMRPlans:
+    def test_mmr_rerank_is_pool_bounded(self, spark, sf_dir):
+        """The corpus is touched only by the relevance top-k; the
+        pairwise-similarity product and every greedy round run over
+        persisted pool-bounded (<= 20 row) tables. No CartesianProduct
+        — the only nested-loop joins are broadcast products with a
+        bounded side (query vector, pool, 1-row picks)."""
+        plan = plan_of(spark, sf_dir, "ann_topk_mmr")
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan
