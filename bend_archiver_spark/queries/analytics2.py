@@ -114,3 +114,126 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+@register(
+    "agg_exact_weighted_median",
+    oracle="""
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM lineitem),
+    w AS (SELECT SUM(CAST(l_quantity AS BIGINT)) AS tw FROM lineitem)
+    SELECT CAST(w.tw AS BIGINT) AS total_weight,
+           CAST((w.tw + 1) // 2 AS BIGINT) AS median_rank,
+           v AS median_price
+    FROM r, w WHERE c >= (w.tw + 1) // 2
+    ORDER BY c LIMIT 1
+    """,
+    tags=("agg", "order-statistics", "distributed"),
+)
+def agg_exact_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median line price — the smallest price
+    whose cumulative quantity reaches half the total. Same
+    distributed prefix-sum rank as ``agg_exact_median_distributed``
+    but summing integer weights instead of 1s, showing the machinery
+    generalizes to any exact weighted quantile: the oracle's
+    single-partition running sum is replaced by the range-partitioned
+    two-phase scan, and the boundary row (min cumulative weight >=
+    threshold — unique because weights are >= 1) is one filter plus a
+    heap top-1."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    ranked = prefix_sum(
+        li, ["v", "l_orderkey", "l_linenumber"], "wt", out_col="c"
+    )
+    w = li.agg(F.sum("wt").alias("tw"))
+    return (
+        ranked.crossJoin(w)
+        .filter(F.col("c") >= F.expr("(tw + 1) div 2"))
+        .orderBy(F.asc("c"))
+        .limit(1)
+        .select(
+            F.col("tw").cast("bigint").alias("total_weight"),
+            F.expr("(tw + 1) div 2").cast("bigint").alias("median_rank"),
+            F.col("v").alias("median_price"),
+        )
+    )
+
+
+_BASKET_MIN_SUPPORT = 3
+
+
+@register(
+    "orders_basket_affinity",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pc AS (
+      SELECT l_partkey, COUNT(*) AS n FROM li GROUP BY l_partkey),
+    tot AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    sup AS (SELECT * FROM pairs WHERE n_ab >= {_BASKET_MIN_SUPPORT})
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           (CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE))
+             / (CAST(pa.n AS DOUBLE) * CAST(pb.n AS DOUBLE)) AS lift
+    FROM sup
+    JOIN pc pa ON pa.l_partkey = part_a
+    JOIN pc pb ON pb.l_partkey = part_b
+    CROSS JOIN tot
+    """,
+    tags=("join", "analytics", "cooccurrence"),
+)
+def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket part affinity: co-occurrence count and lift
+    (P(a,b) / P(a)P(b)) for part pairs appearing together in >= 3
+    orders — the association signal behind recommenders and
+    frequently-bought-together. Pair enumeration is the ORDER-key
+    self-join, so cost is bounded by the square of the basket size
+    (~4 items here), never by the catalog; the per-part order counts
+    (catalog-bounded) and the 1-row order total broadcast into the
+    scoring join. All counts are exact int64 below 2^53, so the lift
+    double is a single correctly-rounded division on both engines."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    pa = pc.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    pb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    lift = (
+        F.col("n_ab").cast("double") * F.col("n_orders").cast("double")
+    ) / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(tot)
+        .select(
+            "part_a", "part_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            lift.alias("lift"),
+        )
+    )

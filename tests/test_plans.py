@@ -595,3 +595,23 @@ class TestMMRPlans:
         plan = plan_of(spark, sf_dir, "ann_topk_mmr")
         assert "CartesianProduct" not in plan
         assert "InMemoryTableScan" in plan
+
+
+class TestBasketAndWeightedMedianPlans:
+    def test_weighted_median_two_phase_prefix(self, spark, sf_dir):
+        """Weighted rank via the _pid two-phase prefix machinery plus
+        a heap top-1 boundary pick — never a corpus-sized
+        single-partition running sum."""
+        plan = plan_of(spark, sf_dir, "agg_exact_weighted_median")
+        assert "_pid" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_basket_pairs_keyed_on_order(self, spark, sf_dir):
+        """Pair enumeration must be the order-key self-join (bounded
+        by basket size); the part-count sides and the 1-row total
+        broadcast into the scoring join."""
+        plan = plan_of(spark, sf_dir, "orders_basket_affinity")
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2  # pa + pb sides
+        assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row total
