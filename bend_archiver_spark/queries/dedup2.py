@@ -162,6 +162,7 @@ _CDC_ORACLE = f"""
 @register(
     "pipeline_cdc_chunks",
     oracle=_CDC_ORACLE,
+    headline=True,  # round-5 showcase: map-only CDC chunker
     tags=("pipeline", "dedup", "chunking"),
 )
 def pipeline_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

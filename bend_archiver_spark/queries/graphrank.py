@@ -84,6 +84,7 @@ _PR_ORACLE = (
 @register(
     "graph_pagerank_event_types",
     oracle=_PR_ORACLE,
+    headline=True,  # round-5 showcase: iterative graph rank
     tags=("graph", "iterative"),
 )
 def graph_pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
