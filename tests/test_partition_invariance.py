@@ -24,6 +24,16 @@ QUERIES = [
     "agg_kmv_distinct_sketch",
     "pipeline_per_source_cap",
     "pipeline_curate_v2",
+    # round-5 third-phase additions: CDC chunk stats (map-side marker
+    # chunker + two groupBys), integer PageRank (iterative, cached
+    # node tables), the prefix-sum weighted median (range exchange is
+    # partition-count sensitive by construction — the offsets must
+    # absorb it), the sketch merge, and the MMR greedy trajectory.
+    "pipeline_cdc_chunks",
+    "graph_pagerank_event_types",
+    "agg_exact_weighted_median",
+    "agg_kmv_merge_sources",
+    "ann_topk_mmr",
 ]
 
 
