@@ -45,6 +45,16 @@ QUERIES = [
     "text_bpe_train_merges",
     "agg_kmv_distinct_sketch",
     "pipeline_curate_v2",
+    # round-5 third phase: the CDC chunker (empty/whitespace docs
+    # produce zero chunks and must drop out identically; the \\x01
+    # marker must survive symbol-only and unicode tokens), directed
+    # containment (duplicate docs 6/7 contain each other fully; docs
+    # under the min-shingle floor must not emit), the vocab-amortized
+    # BPE encode, and the cross-source sketch merge.
+    "pipeline_cdc_chunks",
+    "dedup_containment_pairs",
+    "text_bpe_encode_corpus",
+    "agg_kmv_merge_sources",
 ]
 
 
