@@ -103,3 +103,43 @@ def archive_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.old_value").alias("old_value"),
         F.col("n.new_value").alias("new_value"),
     )
+
+
+@register(
+    "archive_resync_plan",
+    oracle=f"""
+    WITH old_snap AS ({_SNAPSHOT_SQL.format(where=f"WHERE ts < TIMESTAMP '{_T1}'")}),
+    new_snap AS ({_SNAPSHOT_SQL.format(where="")}),
+    diff AS (
+      SELECT CASE WHEN o.user_id IS NULL THEN 'added'
+                  WHEN n.user_id IS NULL THEN 'deleted'
+                  WHEN o.event_type <> n.event_type
+                    OR o.value <> n.value THEN 'changed'
+                  ELSE 'unchanged' END AS op
+      FROM new_snap n FULL OUTER JOIN old_snap o ON n.user_id = o.user_id)
+    SELECT op,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(CASE WHEN op IN ('added', 'changed')
+                     THEN COUNT(*) ELSE 0 END AS BIGINT) AS n_resync
+    FROM diff GROUP BY op
+    """,
+    tags=("archiver", "cdc", "planning"),
+)
+def archive_resync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental re-archive plan the snapshot diff exists to
+    feed: per diff class, how many keys there are and how many need
+    re-syncing (added + changed; unchanged and deleted cost nothing).
+    At 100 TB this one-screen summary is what decides between an
+    incremental sync of n_resync keys and a full re-extract — the
+    distributed analogue of the reference sizing its batch plan from
+    COUNT/MIN/MAX probes before extracting
+    (`/root/reference/source/mysql.go`). One combinable rollup over
+    the diff join."""
+    diff = archive_snapshot_diff(spark, sf_dir)
+    resync = F.when(
+        F.col("op").isin("added", "changed"), F.count(F.lit(1))
+    ).otherwise(F.lit(0))
+    return diff.groupBy("op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        resync.cast("bigint").alias("n_resync"),
+    )
