@@ -143,3 +143,47 @@ def archive_resync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         resync.cast("bigint").alias("n_resync"),
     )
+
+
+@register(
+    "archive_merge_upsert",
+    oracle=f"""
+    WITH base AS ({_SNAPSHOT_SQL.format(where=f"WHERE ts < TIMESTAMP '{_T1}'")}),
+    changes AS ({_SNAPSHOT_SQL.format(where=f"WHERE ts >= TIMESTAMP '{_T1}'")})
+    SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+           COALESCE(c.event_type, b.event_type) AS event_type,
+           COALESCE(c.value, b.value) AS value,
+           CASE WHEN b.user_id IS NULL THEN 'inserted'
+                WHEN c.user_id IS NULL THEN 'kept'
+                ELSE 'updated' END AS op
+    FROM changes c FULL OUTER JOIN base b ON c.user_id = b.user_id
+    """,
+    tags=("archiver", "cdc", "merge"),
+)
+def archive_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 MERGE INTO as a batch operator: apply a CDC change batch
+    (per-user latest state among post-Jan-15 events) onto the base
+    snapshot (pre-Jan-15 state) — matched keys take the change's
+    values ('updated'), unmatched changes insert ('inserted'),
+    untouched base rows pass through ('kept'). This is the upsert the
+    reference's archive loop performs implicitly by re-extracting
+    whole batches (`/root/reference/job/job.go`) — materialized here
+    as one co-partitioned key-equi FULL OUTER join between two
+    bounded-group row_number windows, the same shuffle shape as
+    ``archive_snapshot_diff``; at 100 TB the change side is typically
+    days-partition-pruned to a sliver of the base, and AQE reuses the
+    base's exchange layout. The provenance column is what an
+    incremental writer needs to emit only changed partitions."""
+    ev = t(spark, sf_dir, "events")
+    base = _snapshot(ev.filter(F.col("ts") < F.lit(_T1)), "b")
+    changes = _snapshot(ev.filter(F.col("ts") >= F.lit(_T1)), "c")
+    c, b = changes.alias("c"), base.alias("b")
+    return c.join(b, F.col("c.user_id") == F.col("b.user_id"), "full").select(
+        F.coalesce(F.col("c.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce(F.col("c.c_type"), F.col("b.b_type")).alias("event_type"),
+        F.coalesce(F.col("c.c_value"), F.col("b.b_value")).alias("value"),
+        F.when(F.col("b.user_id").isNull(), "inserted")
+        .when(F.col("c.user_id").isNull(), "kept")
+        .otherwise("updated")
+        .alias("op"),
+    )

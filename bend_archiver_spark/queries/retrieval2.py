@@ -1,0 +1,166 @@
+"""Positional retrieval + exact-substring dedup coverage.
+
+``text_phrase_search`` evaluates a multi-term PHRASE query the way a
+positional inverted index does: per-term posting lists carrying token
+positions, chained on (doc, pos+offset) equi-joins — adjacency is a
+join key, never a regex rescan of the corpus. This is the querying
+counterpart of ``text_bm25_search`` (bag-of-words scoring) — together
+they cover the two retrieval primitives a document store needs.
+
+``dedup_span_coverage`` is the Lee et al. 2022 exact-substring dedup
+measure: the fraction of each document's TOKEN POSITIONS covered by
+some N-gram that also occurs verbatim in another document — i.e. how
+much of the doc an exact-substring deduplicator would delete.
+Distinct from ``text_duplicated_ngram_fraction``, which counts
+duplicated gram OCCURRENCES: overlapping duplicated grams are not
+double-counted here, because coverage unions the spans first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import fanout, hash64_expr, ngram_array, register, t
+
+# the phrase to search; chained generically so a k-term phrase is k-1
+# positional joins
+_PHRASE = ("table", "hash")
+
+_WS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+_PHRASE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({_WS_SQL}) AS tok,
+         generate_subscripts({_WS_SQL}, 1) AS pos
+  FROM documents)
+SELECT t0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM tok t0 JOIN tok t1
+  ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+WHERE t0.tok = '{_PHRASE[0]}' AND t1.tok = '{_PHRASE[1]}'
+GROUP BY t0.doc_id
+"""
+
+
+@register(
+    "text_phrase_search",
+    oracle=_PHRASE_ORACLE,
+    tags=("text", "retrieval", "index"),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase match ("table hash") via positional posting
+    lists: tokenize once with positions (posexplode), filter each
+    term's postings BEFORE any join (term selectivity is the whole
+    point of an inverted index), then chain adjacency as
+    (doc_id, pos + i) equi-joins — k-term phrases cost k-1 hash joins
+    over term-sized posting lists, never a corpus rescan or a regex
+    over full documents. At 100 TB the posting lists are the
+    materialized index; here they are built in-flight from the same
+    one tokenize pass. Position arithmetic uses only OFFSETS, so
+    Spark's 0-based posexplode and the oracle's 1-based
+    generate_subscripts agree exactly."""
+    d = fanout(t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    out = toks.filter(F.col("tok") == _PHRASE[0]).select("doc_id", "pos")
+    for i, term in enumerate(_PHRASE[1:], start=1):
+        nxt = toks.filter(F.col("tok") == term).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        out = out.join(nxt, ["doc_id", "pos"])
+    return out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )
+
+
+_SPAN_N = 8  # gram length for exact-substring coverage
+
+_SPAN_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+gl AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - {_SPAN_N} + 2),
+                        i -> list_aggregate(
+                               list_slice(ws, i, i + {_SPAN_N} - 1),
+                               'string_agg', ' ')) AS gs
+  FROM tok WHERE len(ws) >= {_SPAN_N}),
+grams AS (
+  SELECT doc_id, unnest(gs) AS g,
+         generate_subscripts(gs, 1) - 1 AS s
+  FROM gl),
+dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, s + x AS p
+  FROM grams JOIN dupg USING (g)
+  CROSS JOIN (SELECT unnest(range(0, {_SPAN_N})) AS x)),
+covc AS (SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_cov, 0) AS BIGINT) AS n_cov,
+       CAST(COALESCE(n_cov, 0) AS DOUBLE) / len(ws) AS coverage
+FROM tok t LEFT JOIN covc ON t.doc_id = covc.doc_id
+"""
+
+
+@register(
+    "dedup_span_coverage",
+    oracle=_SPAN_ORACLE,
+    tags=("dedup", "text", "spans"),
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup coverage (Lee et al. 2022): per document,
+    the fraction of token positions lying inside at least one
+    8-gram that occurs verbatim in >= 2 distinct documents —
+    the amount of text exact-substring deduplication would remove.
+    Overlapping duplicated grams are unioned (DISTINCT on (doc, pos))
+    before counting, so the number is true positional coverage, not
+    occurrence inflation. Cost is O(corpus tokens): one posexplode
+    over the gram array, a map-combinable distinct-doc count per
+    60-bit gram hash, an equi-join back on that hash, and a bounded
+    x8 position explode of only the DUPLICATED occurrences —
+    never document pairs (the suffix-array the paper builds serves
+    the same query; the gram-join is its shuffle-friendly
+    formulation). Docs shorter than 8 tokens have zero
+    coverage and survive via the left join, same as the oracle."""
+    d = fanout(t(spark, sf_dir, "documents"))
+    arr = F.split(F.trim(F.lower("text")), r"\s+")
+    base = d.select("doc_id", F.size(arr).alias("n_tokens"))
+    grams = (
+        d.filter(F.size(arr) >= _SPAN_N)
+        .select("doc_id", F.posexplode(ngram_array(arr, _SPAN_N)).alias("s", "g_str"))
+        .select("doc_id", "s", hash64_expr(F.col("g_str")).alias("g"))
+    )
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    cov = (
+        grams.join(dupg, "g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + (_SPAN_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_cov"))
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_cov"), F.lit(0)).cast("bigint").alias("n_cov"),
+        (
+            F.coalesce(F.col("n_cov"), F.lit(0)).cast("double")
+            / F.col("n_tokens")
+        ).alias("coverage"),
+    )

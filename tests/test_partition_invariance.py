@@ -34,6 +34,14 @@ QUERIES = [
     "agg_exact_weighted_median",
     "agg_kmv_merge_sources",
     "ann_topk_mmr",
+    # round-5 fourth-phase additions: wedge-closure triangle counting
+    # (persisted edge barrier + 3-arm self-join), the histogram
+    # quantile sketch (fixed bins must make it invariant BY
+    # CONSTRUCTION — this is the test of that claim), and the
+    # span-coverage gram join (distinct-union of overlapping spans).
+    "graph_triangle_count",
+    "agg_histogram_quantile",
+    "dedup_span_coverage",
 ]
 
 

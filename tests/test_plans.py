@@ -615,3 +615,62 @@ class TestBasketAndWeightedMedianPlans:
         assert "CartesianProduct" not in plan
         assert plan.count("BroadcastHashJoin") >= 2  # pa + pb sides
         assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row total
+
+
+class TestRound5FourthPhasePlans:
+    def test_triangle_wedges_behind_edge_barrier(self, spark, sf_dir):
+        """Triangle enumeration must run over the PERSISTED oriented
+        edge list (otherwise each of the three self-join arms plus the
+        degree rollup re-runs the basket self-join — 4 corpus passes),
+        and every join is a key equi-join: wedge closure, never an
+        all-pairs product."""
+        plan = plan_of(spark, sf_dir, "graph_triangle_count")
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_skyline_is_broadcast_runmax_not_n2(self, spark, sf_dir):
+        """The skyline must be the running-max-over-distinct-prices
+        formulation broadcast back onto the part scan — no O(n^2)
+        dominance self-join (no CartesianProduct / nested-loop over
+        two corpus sides)."""
+        plan = plan_of(spark, sf_dir, "pareto_frontier_parts")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "Window" in plan
+
+    def test_histogram_quantile_prefix_rank_and_broadcast_targets(
+        self, spark, sf_dir
+    ):
+        """The exact-rank audit must use the two-phase prefix-sum
+        machinery (_pid), and the 3-row target table must broadcast
+        into both the bin walk and the rank probe — the corpus is
+        scanned, never nested-loop-joined against itself."""
+        plan = plan_of(spark, sf_dir, "agg_histogram_quantile")
+        assert "_pid" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_phrase_search_posting_equi_join(self, spark, sf_dir):
+        """Phrase adjacency is a (doc_id, pos) equi-join between
+        term-filtered posting lists — the term filters must sit below
+        the join (selectivity first), and no cartesian anywhere."""
+        plan = plan_of(spark, sf_dir, "text_phrase_search")
+        assert "CartesianProduct" not in plan
+        # both join keys present in some equi-join
+        assert "doc_id" in plan and "pos" in plan
+
+    def test_span_coverage_gram_join_no_pairs(self, spark, sf_dir):
+        """Exact-substring coverage must be the gram-hash join (cost
+        O(tokens)), never a document-pair product; the distinct-doc
+        gram count is a partial (map-combinable) aggregate."""
+        plan = plan_of(spark, sf_dir, "dedup_span_coverage")
+        assert "CartesianProduct" not in plan
+        assert "partial_count" in plan or "HashAggregate" in plan
+
+    def test_merge_upsert_copartitioned_full_outer(self, spark, sf_dir):
+        """SCD1 merge is one key-equi FULL OUTER join between the two
+        snapshot windows — co-partitioned on user_id, no broadcast
+        (both sides corpus-sized) and no cartesian."""
+        plan = plan_of(spark, sf_dir, "archive_merge_upsert")
+        assert "FullOuter" in plan
+        assert "CartesianProduct" not in plan
