@@ -35,14 +35,47 @@ from .base import register, t
 # co-occurring in >= 3 orders
 _TRI_MIN_SUPPORT = 3
 
-_TRI_ORACLE = f"""
-WITH li AS (
+# shared CTE: the part co-occurrence graph (oriented u < v) — used by
+# triangle counting here and label propagation in analytics4
+EDGES_CTE = f"""
+li AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_SUPPORT}),
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_SUPPORT})
+"""
+
+
+def cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED oriented (u < v) edge list of the part co-occurrence
+    graph: part pairs sharing >= 3 orders. Pair enumeration is the
+    order-key self-join (bounded by basket size, never the catalog
+    squared); the persist is the barrier that lets graph algorithms
+    reference the edge list from several join arms without re-running
+    the self-join per arm (callers clearCache between queries — repo
+    convention)."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+        .persist()
+    )
+
+
+_TRI_ORACLE = f"""
+WITH {EDGES_CTE},
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM edges e1
@@ -88,25 +121,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the basket self-join (bounded by basket size ~4); the
     coefficient 2t/(d(d-1)) is a single correctly-rounded double
     division over exact int64 counts on both engines."""
-    li = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    # persist: the edge list feeds three self-join arms + the degree
-    # rollup; without a barrier each arm re-runs the basket self-join
-    # (callers clearCache between queries — repo convention)
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _TRI_MIN_SUPPORT)
-        .select("u", "v")
-        .persist()
-    )
+    edges = cooccur_edges(spark, sf_dir)
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))

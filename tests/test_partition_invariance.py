@@ -42,6 +42,12 @@ QUERIES = [
     "graph_triangle_count",
     "agg_histogram_quantile",
     "dedup_span_coverage",
+    # fifth phase: synchronous LPA (deterministic tie-break is the
+    # claim under test), the sketch merge (fixed bins => associative),
+    # and per-group OLS (decimal moment sums).
+    "graph_label_propagation",
+    "agg_histogram_merge_sources",
+    "agg_linear_regression_per_type",
 ]
 
 

@@ -674,3 +674,45 @@ class TestRound5FourthPhasePlans:
         plan = plan_of(spark, sf_dir, "archive_merge_upsert")
         assert "FullOuter" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound5FifthPhasePlans:
+    def test_lpa_rounds_node_bounded_behind_barriers(self, spark, sf_dir):
+        """Label propagation must run its rounds over PERSISTED
+        node-bounded tables (adjacency + per-round labels) — lineitem
+        is touched only by the edge build — and every join is a key
+        equi-join."""
+        plan = plan_of(spark, sf_dir, "graph_label_propagation")
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_histogram_merge_single_corpus_pass(self, spark, sf_dir):
+        """The merge story stands on ONE corpus pass: the per-source
+        sketch table is persisted and both branches (per-source walk,
+        global rollup) read the cache. (FileScan COUNTS in the plan
+        string are not a valid discriminator here: each
+        InMemoryTableScan reprints its cached child plan — same
+        caveat as the minhash barrier pin.)"""
+        plan = plan_of(spark, sf_dir, "agg_histogram_merge_sources")
+        assert "InMemoryTableScan" in plan  # the persisted sketch table
+        assert "partial_count" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_seasonal_decompose_single_pass_broadcast_components(
+        self, spark, sf_dir
+    ):
+        """One combinable groupBy reduces events to the daily table;
+        the dow/overall component tables broadcast back; windows are
+        per-type partitioned (no global sort)."""
+        plan = plan_of(spark, sf_dir, "timeseries_seasonal_decompose")
+        assert "InMemoryTableScan" in plan  # the persisted daily table
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_regression_is_one_combinable_scan(self, spark, sf_dir):
+        """Five moment sums in one map-combinable aggregate; no join
+        anywhere."""
+        plan = plan_of(spark, sf_dir, "agg_linear_regression_per_type")
+        assert plan.count("FileScan parquet") == 1
+        assert "partial_sum" in plan
+        assert "Join" not in plan
