@@ -55,6 +55,16 @@ QUERIES = [
     "dedup_containment_pairs",
     "text_bpe_encode_corpus",
     "agg_kmv_merge_sources",
+    # round-5 fourth/sixth phase: positional phrase search (empty/
+    # whitespace docs tokenize to [''] on both engines; no match rows
+    # at all on this corpus — the empty-result parity is the test),
+    # exact-substring span coverage (docs under 8 tokens must emit
+    # zero coverage through the left join, duplicate docs 6/7 are too
+    # short to produce grams), and the langid confusion matrix
+    # (division by n_words=1 token edge).
+    "text_phrase_search",
+    "dedup_span_coverage",
+    "text_langid_confusion",
 ]
 
 

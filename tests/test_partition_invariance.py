@@ -48,6 +48,13 @@ QUERIES = [
     "graph_label_propagation",
     "agg_histogram_merge_sources",
     "agg_linear_regression_per_type",
+    # sixth phase: BFS (anti-join frontier dedup), last-touch
+    # attribution (IGNORE NULLS running last over a total order),
+    # per-dim standardization (collect_list arrival order must be
+    # neutralized by the struct sort).
+    "graph_bfs_hops",
+    "events_attribution_last_touch",
+    "embedding_standardize_dims",
 ]
 
 

@@ -716,3 +716,42 @@ class TestRound5FifthPhasePlans:
         assert plan.count("FileScan parquet") == 1
         assert "partial_sum" in plan
         assert "Join" not in plan
+
+
+class TestRound5SixthPhasePlans:
+    def test_bfs_frontier_joins_cached_node_bounded(self, spark, sf_dir):
+        """BFS expansions must run against the persisted adjacency
+        (corpus touched once by the edge build); frontier joins are
+        broadcast equi-joins, the visited check a key anti-join."""
+        plan = plan_of(spark, sf_dir, "graph_bfs_hops")
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+        assert "LeftAnti" in plan
+
+    def test_attribution_single_user_exchange(self, spark, sf_dir):
+        """One hash exchange on user_id feeds the running-last window;
+        the channel rollup is combinable after the purchase filter."""
+        plan = plan_of(spark, sf_dir, "events_attribution_last_touch")
+        assert plan.count("Exchange hashpartitioning(user_id") == 1
+        assert "CartesianProduct" not in plan
+
+    def test_langid_confusion_cell_bounded_join(self, spark, sf_dir):
+        """The share join runs on the |labels| x |guesses| cell table
+        (broadcast), after one map-only pass + combinable groupBy."""
+        plan = plan_of(spark, sf_dir, "text_langid_confusion")
+        assert "BroadcastHashJoin" in plan
+        assert "partial_count" in plan
+
+    def test_standardize_broadcast_dim_stats(self, spark, sf_dir):
+        """The |dims|-row stats table must broadcast onto the element
+        stream — shuffling corpus elements against 64 rows is
+        backwards — and the vector regroup is the only corpus-keyed
+        exchange."""
+        plan = plan_of(spark, sf_dir, "embedding_standardize_dims")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        # (reassembly determinism — the struct sort neutralizing
+        # collect_list arrival order — is proven by the
+        # partition-invariance test; simple-mode explain truncates
+        # aggregate expression lists so it cannot be pinned here)
+        assert "ObjectHashAggregate" in plan
