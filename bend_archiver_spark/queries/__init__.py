@@ -35,6 +35,7 @@ from . import analytics2  # noqa: F401,E402
 from . import analytics3  # noqa: F401,E402
 from . import analytics4  # noqa: F401,E402
 from . import analytics5  # noqa: F401,E402
+from . import verify2  # noqa: F401,E402
 from . import retrieval2  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec"]

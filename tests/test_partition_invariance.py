@@ -55,6 +55,12 @@ QUERIES = [
     "graph_bfs_hops",
     "events_attribution_last_touch",
     "embedding_standardize_dims",
+    # verification/drift family: the KS statistic is exact integers
+    # until one division; chi2 rounds per-cell contributions to
+    # decimal BEFORE the cross-cell sum — this test is what makes
+    # that rounding policy load-bearing.
+    "profile_ks_drift",
+    "profile_chi2_independence",
 ]
 
 

@@ -755,3 +755,35 @@ class TestRound5SixthPhasePlans:
         # partition-invariance test; simple-mode explain truncates
         # aggregate expression lists so it cannot be pinned here)
         assert "ObjectHashAggregate" in plan
+
+
+class TestVerificationAndDriftPlans:
+    def test_referential_integrity_shared_child_scans(self, spark, sf_dir):
+        """Dimension parents broadcast into the orphan joins; no
+        cartesian except the 1-row summary cross-products; lineitem's
+        three FK audits share one chained-join pass (left joins on
+        DISTINCT parent keys — no row multiplication)."""
+        plan = plan_of(spark, sf_dir, "verify_referential_integrity")
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 5
+    def test_key_uniqueness_no_joins(self, spark, sf_dir):
+        """Pure per-table aggregation — a join anywhere is wrong."""
+        plan = plan_of(spark, sf_dir, "verify_key_uniqueness")
+        assert "Join" not in plan
+        assert "partial_count" in plan
+
+    def test_ks_drift_value_bounded_window(self, spark, sf_dir):
+        """The cumulative window runs over the DISTINCT-length table
+        after a combinable groupBy; the 1-row totals broadcast."""
+        plan = plan_of(spark, sf_dir, "profile_ks_drift")
+        assert "partial_sum" in plan
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row totals
+        assert "CartesianProduct" not in plan
+
+    def test_chi2_cells_behind_barrier(self, spark, sf_dir):
+        """The observed-cell table is persisted (feeds row totals,
+        column totals, grand total, dof and the contribution join);
+        marginals broadcast back onto the cells."""
+        plan = plan_of(spark, sf_dir, "profile_chi2_independence")
+        assert "InMemoryTableScan" in plan
+        assert "BroadcastHashJoin" in plan
