@@ -104,6 +104,7 @@ FROM deg LEFT JOIN tn ON deg.node = tn.node
 @register(
     "graph_triangle_count",
     oracle=_TRI_ORACLE,
+    headline=True,  # round-5 showcase: wedge-closure graph structure
     tags=("graph", "join", "structure"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,6 +249,7 @@ FROM est JOIN ranked ON rk = r
 @register(
     "agg_histogram_quantile",
     oracle=_HISTQ_ORACLE,
+    headline=True,  # round-5 showcase: mergeable sketch + exact audit
     tags=("agg", "sketch", "order-statistics"),
 )
 def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -208,6 +208,7 @@ GROUP BY na, nb
 @register(
     "profile_ks_drift",
     oracle=_KS_ORACLE,
+    headline=True,  # round-5 showcase: exact-integer drift statistic
     tags=("profile", "drift", "statistics"),
 )
 def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
