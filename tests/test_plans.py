@@ -619,14 +619,16 @@ class TestBasketAndWeightedMedianPlans:
 
 class TestRound5FourthPhasePlans:
     def test_triangle_wedges_behind_edge_barrier(self, spark, sf_dir):
-        """Triangle enumeration must run over the PERSISTED oriented
-        edge list (otherwise each of the three self-join arms plus the
-        degree rollup re-runs the basket self-join — 4 corpus passes),
-        and every join is a key equi-join: wedge closure, never an
-        all-pairs product."""
+        """Triangle enumeration must run over the PERSISTED
+        degree-ORIENTED edge list (otherwise every join arm re-runs
+        the basket self-join), the degree table must BROADCAST into
+        the orientation join (shuffling edges against a |V|-row table
+        is backwards), and every join is a key equi-join: wedge
+        closure, never an all-pairs product."""
         plan = plan_of(spark, sf_dir, "graph_triangle_count")
         assert "InMemoryTableScan" in plan
         assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
 
     def test_skyline_is_broadcast_runmax_not_n2(self, spark, sf_dir):
         """The skyline must be the running-max-over-distinct-prices

@@ -120,6 +120,19 @@ class TestGraphSemantics:
             (4, 1, 0, 0.0),
         }
 
+    def test_triangle_star_graph_zero(self, spark, tmp_path):
+        # hub-and-spoke with the hub as the LOWEST id — the adversarial
+        # case for raw-id orientation (C(deg,2) wedges through the
+        # hub); degree-ordering points every spoke INTO the hub, so no
+        # node has two out-edges and the wedge table is empty. Output:
+        # no triangles anywhere, hub degree = #spokes.
+        spokes = list(range(2, 10))
+        _baskets_lineitem(tmp_path, [((1, sp), 3) for sp in spokes])
+        got = _run(spark, tmp_path, "graph_triangle_count")
+        assert got == {(1, len(spokes), 0, 0.0)} | {
+            (sp, 1, 0, 0.0) for sp in spokes
+        }
+
     def test_lpa_matches_reference_on_barbell(self, spark, tmp_path):
         _baskets_lineitem(tmp_path, _BARBELL)
         edges = _ref_edges(_BARBELL)
