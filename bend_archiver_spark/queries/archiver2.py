@@ -65,8 +65,8 @@ _SNAPSHOT_SQL = """
     SELECT COALESCE(n.user_id, o.user_id) AS user_id,
            CASE WHEN o.user_id IS NULL THEN 'added'
                 WHEN n.user_id IS NULL THEN 'deleted'
-                WHEN o.event_type <> n.event_type
-                  OR o.value <> n.value THEN 'changed'
+                WHEN o.event_type IS DISTINCT FROM n.event_type
+                  OR o.value IS DISTINCT FROM n.value THEN 'changed'
                 ELSE 'unchanged' END AS op,
            o.event_type AS old_type, n.event_type AS new_type,
            o.value AS old_value, n.value AS new_value
@@ -92,8 +92,10 @@ def archive_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o.user_id").isNull(), "added")
         .when(F.col("n.user_id").isNull(), "deleted")
         .when(
-            (F.col("o.old_type") != F.col("n.new_type"))
-            | (F.col("o.old_value") != F.col("n.new_value")),
+            # null-safe: a NULL on either side of a real change must
+            # classify as 'changed', not fall through to 'unchanged'
+            ~F.col("o.old_type").eqNullSafe(F.col("n.new_type"))
+            | ~F.col("o.old_value").eqNullSafe(F.col("n.new_value")),
             "changed",
         )
         .otherwise("unchanged")
@@ -113,8 +115,8 @@ def archive_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff AS (
       SELECT CASE WHEN o.user_id IS NULL THEN 'added'
                   WHEN n.user_id IS NULL THEN 'deleted'
-                  WHEN o.event_type <> n.event_type
-                    OR o.value <> n.value THEN 'changed'
+                  WHEN o.event_type IS DISTINCT FROM n.event_type
+                    OR o.value IS DISTINCT FROM n.value THEN 'changed'
                   ELSE 'unchanged' END AS op
       FROM new_snap n FULL OUTER JOIN old_snap o ON n.user_id = o.user_id)
     SELECT op,
@@ -151,8 +153,10 @@ def archive_resync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS ({_SNAPSHOT_SQL.format(where=f"WHERE ts < TIMESTAMP '{_T1}'")}),
     changes AS ({_SNAPSHOT_SQL.format(where=f"WHERE ts >= TIMESTAMP '{_T1}'")})
     SELECT COALESCE(c.user_id, b.user_id) AS user_id,
-           COALESCE(c.event_type, b.event_type) AS event_type,
-           COALESCE(c.value, b.value) AS value,
+           CASE WHEN c.user_id IS NOT NULL THEN c.event_type
+                ELSE b.event_type END AS event_type,
+           CASE WHEN c.user_id IS NOT NULL THEN c.value
+                ELSE b.value END AS value,
            CASE WHEN b.user_id IS NULL THEN 'inserted'
                 WHEN c.user_id IS NULL THEN 'kept'
                 ELSE 'updated' END AS op
@@ -178,10 +182,14 @@ def archive_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _snapshot(ev.filter(F.col("ts") < F.lit(_T1)), "b")
     changes = _snapshot(ev.filter(F.col("ts") >= F.lit(_T1)), "c")
     c, b = changes.alias("c"), base.alias("b")
+    matched = F.col("c.user_id").isNotNull()
+    # matched keys take the change row WHOLESALE — a per-column
+    # coalesce would silently resurrect the base value whenever the
+    # change legitimately carries NULL (the classic MERGE bug)
     return c.join(b, F.col("c.user_id") == F.col("b.user_id"), "full").select(
         F.coalesce(F.col("c.user_id"), F.col("b.user_id")).alias("user_id"),
-        F.coalesce(F.col("c.c_type"), F.col("b.b_type")).alias("event_type"),
-        F.coalesce(F.col("c.c_value"), F.col("b.b_value")).alias("value"),
+        F.when(matched, F.col("c.c_type")).otherwise(F.col("b.b_type")).alias("event_type"),
+        F.when(matched, F.col("c.c_value")).otherwise(F.col("b.b_value")).alias("value"),
         F.when(F.col("b.user_id").isNull(), "inserted")
         .when(F.col("c.user_id").isNull(), "kept")
         .otherwise("updated")

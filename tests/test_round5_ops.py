@@ -343,6 +343,55 @@ class TestMergeUpsertSemantics:
             (3, "signup", 4.0, "inserted"),
         }
 
+    def test_matched_change_with_null_value_wins(self, spark, tmp_path):
+        # the classic MERGE bug: per-column COALESCE resurrects the
+        # base value when the change legitimately carries NULL — the
+        # matched key must take the change row WHOLESALE
+        T = datetime.datetime
+        rows = [
+            (1, T(2024, 1, 10, 9, 0, 0), 1, "click", 2.0),
+            (2, T(2024, 1, 20, 9, 0, 0), 1, "error", None),
+        ]
+        _write(
+            tmp_path,
+            "events",
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            },
+        )
+        got = _run(spark, tmp_path, "archive_merge_upsert")
+        assert got == {(1, "error", None, "updated")}
+
+    def test_snapshot_diff_null_transition_is_changed(self, spark, tmp_path):
+        # NULL-safe change detection: value 2.0 -> NULL is 'changed',
+        # NULL -> NULL is 'unchanged' (a bare <> yields NULL on both
+        # and silently misclassifies the first as unchanged)
+        T = datetime.datetime
+        rows = [
+            (1, T(2024, 1, 10, 9, 0, 0), 1, "click", 2.0),
+            (2, T(2024, 1, 20, 9, 0, 0), 1, "click", None),
+            (3, T(2024, 1, 10, 9, 0, 0), 2, "view", None),
+            (4, T(2024, 1, 20, 9, 0, 0), 2, "view", None),
+        ]
+        _write(
+            tmp_path,
+            "events",
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            },
+        )
+        got = _run(spark, tmp_path, "archive_snapshot_diff")
+        ops = {r[0]: r[1] for r in got}
+        assert ops == {1: "changed", 2: "unchanged"}
+
 
 # --- attribution / standardization -----------------------------------
 
