@@ -21,6 +21,7 @@ from .similarity import (
     lsh_buckets,
     lsh_table_buckets,
 )
+from .graph import bfs_hops, connected_components, label_propagation, triangle_counts
 from .skew import salted_join
 from .textops import quality_scores, token_stats
 
@@ -38,6 +39,10 @@ __all__ = [
     "lsh_table_buckets",
     "lsh_buckets",
     "salted_join",
+    "connected_components",
+    "triangle_counts",
+    "label_propagation",
+    "bfs_hops",
     "token_stats",
     "quality_scores",
 ]

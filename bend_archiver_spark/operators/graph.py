@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "triangle_counts", "label_propagation", "bfs_hops"]
 
 
 def connected_components(
@@ -86,3 +86,143 @@ def connected_components(
     return labels.select(
         F.col("node").alias(node_col), F.col("label").alias("component_id")
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Exact per-node triangle count + local clustering coefficient by
+    degree-ordered wedge closure (node-iterator++ / Chiba-Nishizeki).
+
+    ``edges`` is an undirected edge list, one row per edge in either
+    orientation (no duplicates). Every edge is re-oriented from its
+    lower to its higher endpoint under the (degree, id) total order,
+    which caps each out-degree at O(sqrt(m)) on ANY degree
+    distribution — the wedge table stays m^1.5-bounded even on a
+    hub-and-spoke graph, where id-ordering would put C(hub_deg, 2)
+    wedges through the hub. Each triangle is enumerated exactly once
+    from its (degree, id)-minimal corner. Input should be persisted by
+    the caller if its lineage is expensive — this operator references
+    it from four join arms. Returns (node, degree, n_triangles,
+    clustering_coeff)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    ed = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    e_or = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    ).persist()
+    e1 = e_or.select("src", F.col("dst").alias("a"), F.col("dd").alias("da"))
+    e2 = e_or.select("src", F.col("dst").alias("b"), F.col("dd").alias("db"))
+    wedges = e1.join(e2, "src").filter(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    )
+    closure = e_or.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    tri = wedges.join(closure, ["a", "b"])
+    tn = (
+        tri.select(F.explode(F.array("src", "a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        (2 * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+        / (F.col("degree").cast("double") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tn, "node", "left").select(
+        "node",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce(F.col("n_tri"), F.lit(0))
+        .cast("bigint")
+        .alias("n_triangles"),
+        coeff.alias("clustering_coeff"),
+    )
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 3, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), made deterministic by the (count DESC, label ASC)
+    tie-break total order — reproducible under any partitioning,
+    unlike the paper's random tie-break. Each round is node-bounded:
+    one adjacency equi-join against the |V|-row label table, a
+    map-combinable (node, label) count, and a degree-bounded window;
+    per-round persists keep the plan linear in rounds. Returns
+    (node, label)."""
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .persist()
+    )
+    labels = adj.select("node").distinct().withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        cnt = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .persist()
+        )
+    return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    hops: int = 3,
+    src: str = "u",
+    dst: str = "v",
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Bounded-depth breadth-first search: every node reachable from
+    ``source`` (a 1-column, typically 1-row DataFrame of seed nodes;
+    default = the graph's minimum node id, derived as an aggregate —
+    never a driver-side collect) with its hop distance. Each expansion
+    is a broadcast frontier equi-join plus an anti-join against the
+    visited set; k-hop reachability costs k node-keyed shuffles with
+    the |V|-bounded visited table as the only growing state. Returns
+    (node, dist)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .persist()
+    )
+    if source is None:
+        source = adj.agg(F.min("node").alias("node"))
+    visited = source.select("node", F.lit(0).alias("dist")).persist()
+    frontier = visited
+    for i in range(1, hops + 1):
+        reached = (
+            adj.join(F.broadcast(frontier.select("node")), "node")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+        )
+        new = reached.join(visited, "node", "left_anti").select(
+            "node", F.lit(i).alias("dist")
+        )
+        visited = visited.unionAll(new).persist()
+        frontier = new
+    return visited

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.graph import triangle_counts
 from ..operators.prefix import prefix_sum
 from .base import register, t
 
@@ -129,48 +130,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient 2t/(d(d-1)) is a single correctly-rounded double
     division over exact int64 counts on both engines."""
     edges = cooccur_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .persist()
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
-    ed = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    # oriented edge src -> dst with dst's (degree, id) key carried for
-    # the wedge-endpoint ordering
-    e_or = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-    ).persist()
-    e1 = e_or.select("src", F.col("dst").alias("a"), F.col("dd").alias("da"))
-    e2 = e_or.select("src", F.col("dst").alias("b"), F.col("dd").alias("db"))
-    wedges = e1.join(e2, "src").filter(
-        (F.col("da") < F.col("db"))
-        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-    )
-    closure = e_or.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    tri = wedges.join(closure, ["a", "b"])
-    tn = (
-        tri.select(F.explode(F.array("src", "a", "b")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_tri"))
-    )
-    coeff = F.when(
-        F.col("degree") >= 2,
-        (2 * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
-        / (F.col("degree").cast("double") * (F.col("degree") - 1)),
-    ).otherwise(F.lit(0.0))
-    return deg.join(tn, "node", "left").select(
+    return triangle_counts(edges, src="u", dst="v").select(
         F.col("node").alias("p_partkey"),
-        F.col("degree").cast("bigint").alias("degree"),
-        F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
-        coeff.alias("clustering_coeff"),
+        "degree",
+        "n_triangles",
+        "clustering_coeff",
     )
 
 

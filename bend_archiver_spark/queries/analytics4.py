@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.graph import label_propagation
 from .analytics3 import EDGES_CTE, cooccur_edges
 from .base import register, t
 
@@ -90,26 +91,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``graphrank.py``). Per-round persists keep the final plan linear
     in rounds instead of exponential lineage."""
     edges = cooccur_edges(spark, sf_dir)
-    adj = (
-        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .persist()
-    )
-    labels = adj.select("node").distinct().withColumn("label", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
-    for _ in range(_LPA_ROUNDS):
-        nbr_labels = adj.join(
-            labels.select(F.col("node").alias("nbr"), "label"), "nbr"
-        )
-        cnt = nbr_labels.groupBy("node", "label").agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .persist()
-        )
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS, src="u", dst="v")
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("p_partkey"),

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.graph import bfs_hops
 from .analytics3 import EDGES_CTE, cooccur_edges
 from .base import register, t
 from .text import _STOPWORDS, _SW_SQL
@@ -79,28 +80,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     growing state (bounded by |V|). The source is an aggregate-derived
     1-row broadcast, not a driver-side collect."""
     edges = cooccur_edges(spark, sf_dir)
-    adj = (
-        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .unionAll(
-            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-        )
-        .persist()
-    )
-    src = adj.agg(F.min("node").alias("node"))
-    visited = src.select("node", F.lit(0).alias("dist")).persist()
-    frontier = visited
-    for i in range(1, _BFS_HOPS + 1):
-        reached = (
-            adj.join(F.broadcast(frontier.select("node")), "node")
-            .select(F.col("nbr").alias("node"))
-            .distinct()
-        )
-        new = reached.join(visited, "node", "left_anti").select(
-            "node", F.lit(i).alias("dist")
-        )
-        visited = visited.unionAll(new).persist()
-        frontier = new
-    return visited.select(
+    return bfs_hops(edges, hops=_BFS_HOPS, src="u", dst="v").select(
         F.col("node").alias("p_partkey"),
         F.col("dist").cast("bigint").alias("hop"),
     )

@@ -3,17 +3,20 @@
 from pyspark.sql import functions as F
 
 from bend_archiver_spark.operators import (
+    bfs_hops,
     cosine_pairs,
     cosine_pairs_lsh,
     cosine_topk,
     exact_dedup,
     jaccard_pairs,
+    label_propagation,
     minhash_lsh_dedup,
     quality_scores,
     salted_join,
     shingle,
     simhash_fingerprints,
     simhash_pairs,
+    triangle_counts,
     token_stats,
 )
 from bend_archiver_spark.tables import load_table
@@ -524,3 +527,51 @@ class TestMinhashCross:
         for r in cross:
             key = frozenset((r["doc_id"], r["bench_id"]))
             assert key in w and w[key] == r["jaccard"]
+
+
+class TestGraphOps:
+    """Parameterized graph-operator API (operators/graph.py) — the
+    registry queries fix the co-occurrence graph; these drive the
+    library surface directly with custom column names and depths."""
+
+    def _edges(self, spark):
+        # barbell: triangles {1,2,3} and {4,5,6} bridged by (3,4)
+        rows = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+        return spark.createDataFrame(rows, ["left_id", "right_id"])
+
+    def test_triangle_counts_custom_columns(self, spark):
+        out = {
+            tuple(r)
+            for r in triangle_counts(
+                self._edges(spark), src="left_id", dst="right_id"
+            ).collect()
+        }
+        assert out == {
+            (1, 2, 1, 1.0), (2, 2, 1, 1.0), (3, 3, 1, 2 / 6),
+            (4, 3, 1, 2 / 6), (5, 2, 1, 1.0), (6, 2, 1, 1.0),
+        }
+
+    def test_label_propagation_rounds_param(self, spark):
+        one = label_propagation(
+            self._edges(spark), rounds=1, src="left_id", dst="right_id"
+        )
+        # after ONE synchronous round every node has adopted its
+        # neighbors' min-tie-break label — node 1's neighbors {2,3}
+        # have labels {2,3}, tie -> 2
+        got = {tuple(r) for r in one.collect()}
+        assert (1, 2) in got and len(got) == 6
+
+    def test_bfs_custom_source_and_depth(self, spark):
+        src = spark.createDataFrame([(6,)], ["node"])
+        out = {
+            tuple(r)
+            for r in bfs_hops(
+                self._edges(spark),
+                hops=2,
+                src="left_id",
+                dst="right_id",
+                source=src,
+            ).collect()
+        }
+        # from node 6, two hops reach {6:0, 4:1, 5:1, 3:2}
+        assert out == {(6, 0), (4, 1), (5, 1), (3, 2)}
