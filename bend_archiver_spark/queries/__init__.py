@@ -36,6 +36,7 @@ from . import analytics3  # noqa: F401,E402
 from . import analytics4  # noqa: F401,E402
 from . import analytics5  # noqa: F401,E402
 from . import verify2  # noqa: F401,E402
+from . import analytics6  # noqa: F401,E402
 from . import retrieval2  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec"]

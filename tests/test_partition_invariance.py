@@ -61,6 +61,9 @@ QUERIES = [
     # that rounding policy load-bearing.
     "profile_ks_drift",
     "profile_chi2_independence",
+    # final slots: ABC classes are decided by exact decimal
+    # cross-multiplication over a total order — the claim under test.
+    "orders_abc_classification",
 ]
 
 

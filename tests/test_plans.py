@@ -789,3 +789,21 @@ class TestVerificationAndDriftPlans:
         plan = plan_of(spark, sf_dir, "profile_chi2_independence")
         assert "InMemoryTableScan" in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestLinkPredictionAndABCPlans:
+    def test_common_neighbors_wedge_join_anti(self, spark, sf_dir):
+        """Candidates come from the wedge equi-join behind the
+        persisted edge barrier; the existing-edge filter is an
+        anti-join; never an all-pairs product over the catalog."""
+        plan = plan_of(spark, sf_dir, "graph_common_neighbors")
+        assert "InMemoryTableScan" in plan
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_abc_single_combinable_reduce(self, spark, sf_dir):
+        """One map-combinable revenue groupBy feeds the catalog-
+        bounded cumulative window; no joins anywhere."""
+        plan = plan_of(spark, sf_dir, "orders_abc_classification")
+        assert "partial_sum" in plan
+        assert "Join" not in plan
