@@ -447,3 +447,113 @@ class TestStandardizeSemantics:
             (1, 0, (-z, -z)),
             (2, 1, (z, z)),
         }
+
+
+class TestIntegrityAuditSemantics:
+    """The corpus is clean, so the sf sweeps only ever exercise the
+    zero-violation path; these fixtures plant known orphans and
+    duplicate keys."""
+
+    def test_referential_orphans_counted(self, spark, tmp_path):
+        _write(tmp_path, "region", {"r_regionkey": pa.array([0], pa.int64())})
+        _write(
+            tmp_path,
+            "nation",
+            {
+                "n_nationkey": pa.array([0, 1], pa.int64()),
+                # nation 1 points at a missing region -> 1 orphan
+                "n_regionkey": pa.array([0, 9], pa.int64()),
+            },
+        )
+        _write(
+            tmp_path,
+            "customer",
+            {
+                "c_custkey": pa.array([10, 11], pa.int64()),
+                "c_nationkey": pa.array([0, 1], pa.int64()),
+            },
+        )
+        _write(
+            tmp_path,
+            "supplier",
+            {
+                "s_suppkey": pa.array([20], pa.int64()),
+                "s_nationkey": pa.array([7], pa.int64()),  # orphan
+            },
+        )
+        _write(
+            tmp_path,
+            "orders",
+            {
+                "o_orderkey": pa.array([100, 101], pa.int64()),
+                # order 101 belongs to a missing customer -> 1 orphan
+                "o_custkey": pa.array([10, 99], pa.int64()),
+            },
+        )
+        _write(tmp_path, "part", {"p_partkey": pa.array([30], pa.int64())})
+        _write(
+            tmp_path,
+            "lineitem",
+            {
+                # rows: (ok 100 ok, part 30 ok, supp 20 ok),
+                #       (ok 999 ORPHAN, part 31 ORPHAN, supp 21 ORPHAN)
+                "l_orderkey": pa.array([100, 999], pa.int64()),
+                "l_partkey": pa.array([30, 31], pa.int64()),
+                "l_suppkey": pa.array([20, 21], pa.int64()),
+            },
+        )
+        got = {
+            r[0]: (r[1], r[2])
+            for r in REGISTRY["verify_referential_integrity"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        }
+        assert got == {
+            "lineitem.l_orderkey->orders": (2, 1),
+            "lineitem.l_partkey->part": (2, 1),
+            "lineitem.l_suppkey->supplier": (2, 1),
+            "orders.o_custkey->customer": (2, 1),
+            "customer.c_nationkey->nation": (2, 0),
+            "supplier.s_nationkey->nation": (1, 1),
+            "nation.n_regionkey->region": (2, 1),
+        }
+
+    def test_duplicate_keys_counted(self, spark, tmp_path):
+        # lineitem: composite key (orderkey, linenumber) duplicated
+        # once; orders: o_orderkey 5 appears three times (ONE dup key,
+        # not two); everything else clean singletons
+        _write(
+            tmp_path,
+            "lineitem",
+            {
+                "l_orderkey": pa.array([1, 1, 1, 2], pa.int64()),
+                "l_linenumber": pa.array([1, 1, 2, 1], pa.int64()),
+            },
+        )
+        _write(
+            tmp_path,
+            "orders",
+            {"o_orderkey": pa.array([5, 5, 5, 6], pa.int64())},
+        )
+        for name, key in (
+            ("customer", "c_custkey"),
+            ("part", "p_partkey"),
+            ("supplier", "s_suppkey"),
+            ("events", "event_id"),
+            ("documents", "doc_id"),
+            ("embeddings", "vec_id"),
+        ):
+            _write(tmp_path, name, {key: pa.array([1, 2], pa.int64())})
+        got = {
+            r[0]: (r[2], r[3], r[4])
+            for r in REGISTRY["verify_key_uniqueness"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        }
+        assert got["lineitem"] == (4, 3, 1)
+        assert got["orders"] == (4, 2, 1)
+        for tbl in (
+            "customer", "part", "supplier", "events", "documents",
+            "embeddings",
+        ):
+            assert got[tbl] == (2, 2, 0)
