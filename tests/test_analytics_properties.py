@@ -200,3 +200,49 @@ def test_attribution_matches_replay(spark, evs):
             credit[ch] = (n + 1, rev + v)  # int-valued: float sum exact
     expect = {(ch, n, rev) for ch, (n, rev) in credit.items()}
     assert got == expect
+
+
+# --- per-dim standardization vs numpy --------------------------------
+
+_vecs = st.lists(
+    st.lists(
+        st.integers(min_value=-50, max_value=50).map(float),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=2,
+    max_size=10,
+).filter(
+    # every dimension needs nonzero variance or the z-score divides
+    # by zero (the operator's contract assumes real embedding noise)
+    lambda vs: all(
+        len({v[d] for v in vs}) > 1 for d in range(3)
+    )
+)
+
+
+@_settings
+@given(vecs=_vecs)
+def test_standardize_matches_numpy(spark, vecs):
+    import numpy as np
+
+    d = _tmp(
+        {
+            "embeddings": {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        }
+    )
+    try:
+        got = _run(spark, d, "embedding_standardize_dims")
+    finally:
+        _cleanup(d)
+    a = np.array(vecs)
+    z = (a - a.mean(axis=0)) / a.std(axis=0, ddof=1)
+    expect = {
+        (i, 0, tuple(round(float(x), 6) for x in z[i]))
+        for i in range(len(vecs))
+    }
+    assert got == expect
