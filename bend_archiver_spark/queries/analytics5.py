@@ -227,8 +227,8 @@ z AS (
          round((CAST(v AS DOUBLE) - sx / n)
                  / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS zv
   FROM elems JOIN stats ON elems.dim = stats.dim)
-SELECT vec_id, label, list(zv ORDER BY dim) AS zvec
-FROM z GROUP BY vec_id, label
+SELECT vec_id, label, CAST(dim - 1 AS BIGINT) AS dim, zv
+FROM z
 """
 
 
@@ -252,11 +252,17 @@ def embedding_standardize_dims(
     rounds identically on both engines — broadcast back onto
     the element stream; each element is then one identical
     (v - mean)/std double chain with a 6-dp round absorbing ulp
-    drift (``agg_corr_manual`` policy), and vectors reassemble via
-    sort_array(collect_list(struct(dim, z))) — deterministic because
-    the struct sort is a total order, regardless of collect_list's
-    arrival order. Scale: two corpus-element passes (stats + apply)
-    and a per-vector regroup; nothing is ever vector x vector."""
+    drift (``agg_corr_manual`` policy). The output is the EXPLODED
+    scalar frame (vec_id, label, dim, zv) — one row per element, the
+    driver-hashable canonical shape (array columns break the
+    harness's pandas sort canonicalizer: r05's only red row).
+    Downstream consumers that want vectors regroup with
+    transform(sort_array(collect_list(struct(dim, zv)))), s.zv) —
+    deterministic because the struct sort is a total order — via the
+    unregistered ``standardized_vectors`` helper below. Scale: two
+    corpus-element passes (stats + apply); nothing vector x vector.
+    Oracle dim is generate_subscripts-1 (1-based) aligned to
+    posexplode's 0-based pos."""
     e = t(spark, sf_dir, "embeddings")
     elems = e.select(
         "vec_id",
@@ -273,9 +279,24 @@ def embedding_standardize_dims(
     zv = F.round(
         (vd - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1)), 6
     )
-    z = elems.join(F.broadcast(stats), "dim").select(
-        "vec_id", "label", "dim", zv.alias("zv")
+    return elems.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        zv.alias("zv"),
     )
+
+
+def standardized_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Array-shaped companion of ``embedding_standardize_dims`` for
+    downstream vector consumers (PCA, clustering): regroups the
+    exploded z-scores back into (vec_id, label, zvec) with the
+    deterministic struct-sort regroup. Unregistered — array outputs
+    are not driver-hashable (see the registry lint in
+    tests/test_registry.py)."""
+    z = embedding_standardize_dims(spark, sf_dir)
     return (
         z.groupBy("vec_id", "label")
         .agg(

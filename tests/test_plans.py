@@ -367,6 +367,31 @@ class TestNoPythonInHotPath:
         assert "BatchEvalPython" not in plan
 
 
+class TestRegistryOutputShapes:
+    def test_no_complex_typed_output_columns(self, spark, sf_dir):
+        """The driver's canonicalizer sorts the result frame by every
+        column with pandas; list/dict/struct cells are unhashable and
+        turn a CORRECT answer into an err row (r05's only red:
+        embedding_standardize_dims returned array<double> zvec).
+        Registered outputs must therefore be scalar columns only —
+        array-shaped companions live as unregistered helpers (e.g.
+        ``analytics5.standardized_vectors``) built on the registered
+        exploded twin."""
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        offenders = {}
+        for name, spec in REGISTRY.items():
+            schema = spec.spark(spark, sf_dir).schema
+            bad = [
+                f.name
+                for f in schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if bad:
+                offenders[name] = bad
+        assert offenders == {}
+
+
 class TestQuality2Plans:
     def test_gopher_rules_map_only(self, spark, sf_dir):
         """Rule filter is a single projection over the scan — zero
