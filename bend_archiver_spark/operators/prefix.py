@@ -26,7 +26,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["prefix_sum"]
+__all__ = ["prefix_sum", "ntile_distributed"]
 
 
 def prefix_sum(
@@ -78,4 +78,55 @@ def prefix_sum(
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, F.col("_local_c") + F.col("_offset"))
         .drop("_pid", "_local_c", "_offset")
+    )
+
+
+def ntile_distributed(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    k: int,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact ``ntile(k) OVER (ORDER BY order_cols)`` without the
+    SinglePartition window: global rank comes from ``prefix_sum`` of
+    ones over the total order (``order_cols`` must be a unique key),
+    and the bucket is the ANSI ntile formula applied to (rank, n) —
+    the first ``n % k`` buckets get ``n div k + 1`` rows, the rest
+    ``n div k``. All arithmetic is int64 DIV/%, so the result is
+    bit-identical to the window ntile at any partitioning. Cost: one
+    range exchange (the sort a window ntile needs anyway, but spread
+    over all partitions) plus a 1-row count broadcast."""
+    ranked = (
+        prefix_sum(
+            df.withColumn("_one", F.lit(1)),
+            order_cols,
+            "_one",
+            out_col="_rank",
+            precision="decimal(38,0)",
+        )
+        .withColumn("_rank", F.col("_rank").cast("bigint"))
+        .drop("_one")
+    )
+    n = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("_base", F.expr(f"_n DIV {int(k)}"))
+        .withColumn("_rem", F.expr(f"_n % {int(k)}"))
+        .withColumn("_cut", F.col("_rem") * (F.col("_base") + 1))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_rank") <= F.col("_cut"),
+                # ceil(rank / (base+1)) in exact int64 arithmetic
+                F.expr("(_rank + _base) DIV (_base + 1)"),
+            )
+            .otherwise(
+                # rem + ceil((rank-cut) / base); greatest() keeps the
+                # never-taken base=0 branch free of division by zero
+                F.col("_rem")
+                + F.expr("(_rank - _cut + _base - 1) DIV greatest(_base, 1)")
+            )
+            .cast("bigint"),
+        )
+        .drop("_n", "_base", "_rem", "_cut", "_rank")
     )

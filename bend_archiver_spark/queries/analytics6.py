@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.prefix import prefix_sum
 from .analytics3 import EDGES_CTE, cooccur_edges
 from .base import register, t
 
@@ -115,29 +116,36 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     A while their cumulative share stays within 80% of total revenue,
     B to 95%, C after — inventory management's 80/20 rule as a query.
     The per-part revenue reduce is one map-combinable groupBy; the
-    cumulative walk is a catalog-bounded window over the
-    (revenue DESC, partkey) TOTAL order (ties broken by key so the
-    running sum — and therefore every class boundary — is unique on
-    both engines). Class boundaries compare in EXACT decimal
-    cross-multiplication (cum*5 <= total*4; cum*20 <= total*19): no
-    float ratio ever decides a class, so a boundary-straddling part
-    cannot flip between engines; the reported cum_share double is
-    display-only. At fact-scale cardinalities the same walk runs on
-    the ``operators/prefix.py`` range exchange."""
+    cumulative walk runs the TOTAL order (revenue DESC, partkey —
+    ties broken by key so the running sum, and therefore every class
+    boundary, is unique on both engines) through the DISTRIBUTED
+    two-phase prefix sum (``operators/prefix.py``): part cardinality
+    grows linearly with the corpus, so a bare global window would be
+    a one-task sort of tens of millions of rows at 100 TB. The
+    descending order is expressed by negating the exact decimal
+    revenue (strictly monotone, lossless), and the grand total is a
+    scalar aggregate broadcast back — never an OVER () window. Class
+    boundaries compare in EXACT decimal cross-multiplication
+    (cum*5 <= total*4; cum*20 <= total*19): no float ratio ever
+    decides a class, so a boundary-straddling part cannot flip
+    between engines; the reported cum_share double is display-only."""
     li = t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("revenue")
     )
-    wc = (
-        Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    total = rev.agg(
+        F.sum("revenue").cast("decimal(38,6)").alias("total")
     )
-    wt = Window.partitionBy()
-    c = rev.select(
-        "l_partkey",
-        "revenue",
-        F.sum("revenue").over(wc).alias("cum"),
-        F.sum("revenue").over(wt).alias("total"),
+    c = (
+        prefix_sum(
+            rev.withColumn("_negrev", -F.col("revenue")),
+            ["_negrev", "l_partkey"],
+            "revenue",
+            out_col="cum",
+            precision="decimal(38,6)",
+        )
+        .drop("_negrev")
+        .crossJoin(F.broadcast(total))
     )
     cls = (
         F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")

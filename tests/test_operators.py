@@ -321,6 +321,38 @@ class TestPrefixSum:
         assert got == [(1, 5, "a"), (2, 15, "b"), (3, 16, "c")]
 
 
+class TestNtileDistributed:
+    def test_matches_window_ntile_all_k_and_sizes(self, spark):
+        """ntile_distributed == F.ntile over the same total order for
+        every bucket-count/row-count shape that exercises the formula:
+        n % k == 0, n % k != 0, n < k (each row its own bucket), and
+        n == 1 — on shuffled multi-partition input."""
+        import random
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from bend_archiver_spark.operators.prefix import ntile_distributed
+
+        rng = random.Random(11)
+        for n, k in [(12, 4), (17, 4), (3, 5), (1, 3), (100, 7)]:
+            rows = [(i, rng.randint(0, 9)) for i in range(n)]
+            rng.shuffle(rows)
+            df = spark.createDataFrame(rows, ["k_id", "x"]).repartition(5)
+            got = {
+                r["k_id"]: r["tile"]
+                for r in ntile_distributed(df, ["k_id"], k).collect()
+            }
+            w = Window.orderBy("k_id")
+            want = {
+                r["k_id"]: r["t"]
+                for r in df.select(
+                    "k_id", F.ntile(k).over(w).alias("t")
+                ).collect()
+            }
+            assert got == want, (n, k)
+
+
 class TestFanout:
     def test_under_partitioned_input_fans_out(self, spark, sf_dir):
         from bend_archiver_spark.queries.base import fanout

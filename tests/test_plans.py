@@ -601,6 +601,28 @@ class TestAnalytics2Plans:
         assert "BroadcastHashJoin" in plan  # offsets join back
         assert "CartesianProduct" not in plan
 
+    def test_abc_classification_uses_prefix_sum(self, spark, sf_dir):
+        """The Pareto cumulative walk runs at part-catalog cardinality
+        (linear in corpus size), so it must use the _pid two-phase
+        prefix machinery with the grand total as a broadcast scalar —
+        the only SinglePartition window allowed is the
+        per-partition-TOTALS offsets scan (one row per partition)."""
+        plan = plan_of(spark, sf_dir, "orders_abc_classification")
+        assert "_pid" in plan
+        assert "BroadcastHashJoin" in plan  # offsets join back
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row grand total
+        assert "CartesianProduct" not in plan
+
+    def test_rfm_scores_via_distributed_ntile(self, spark, sf_dir):
+        """All three quartile scores must come from ntile_distributed
+        (prefix-sum rank + int64 bucket formula), never a bare
+        ntile OVER (ORDER BY) window: the plan carries the _pid
+        machinery and zero window ntile calls."""
+        plan = plan_of(spark, sf_dir, "orders_rfm_segmentation")
+        assert "_pid" in plan
+        assert "ntile" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_cohort_retention_combinable_aggs(self, spark, sf_dir):
         """Cohort min and the (user, week) distinct both combine
         map-side; no cartesian anywhere."""
