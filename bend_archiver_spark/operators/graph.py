@@ -114,7 +114,10 @@ def triangle_counts(
     )
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
-    ed = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # no forced broadcast: the degree table is |V| rows, which at
+    # 100 TB graph scale can exceed executor memory — let AQE pick
+    # broadcast vs shuffle from the measured size at runtime
+    ed = e.join(du, "u").join(dv, "v")
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -200,10 +203,14 @@ def bfs_hops(
     ``source`` (a 1-column, typically 1-row DataFrame of seed nodes;
     default = the graph's minimum node id, derived as an aggregate —
     never a driver-side collect) with its hop distance. Each expansion
-    is a broadcast frontier equi-join plus an anti-join against the
-    visited set; k-hop reachability costs k node-keyed shuffles with
-    the |V|-bounded visited table as the only growing state. Returns
-    (node, dist)."""
+    is a frontier equi-join plus an anti-join against the visited
+    set; the frontier join is left to AQE rather than force-broadcast
+    — one hop from a hub makes the frontier O(|V|), and a forced
+    broadcast of that would OOM the driver at graph scale (AQE still
+    broadcasts the early, genuinely-small frontiers from their
+    measured runtime size). k-hop reachability costs k node-keyed
+    shuffles with the |V|-bounded visited table as the only growing
+    state. Returns (node, dist)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     adj = (
         e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
@@ -216,7 +223,7 @@ def bfs_hops(
     frontier = visited
     for i in range(1, hops + 1):
         reached = (
-            adj.join(F.broadcast(frontier.select("node")), "node")
+            adj.join(frontier.select("node"), "node")
             .select(F.col("nbr").alias("node"))
             .distinct()
         )

@@ -155,7 +155,9 @@ def agg_histogram_merge_sources(
     # cache instead of re-scanning the corpus per branch
     sk = d.groupBy(
         "source",
-        (F.col("n_chars") / _CHAR_BIN_W)
+        # floor, not cast: cast truncates toward zero and would
+        # diverge from the oracle's // on any negative n_chars
+        F.floor(F.col("n_chars") / _CHAR_BIN_W)
         .cast("bigint")
         .alias("bin"),
     ).agg(F.count(F.lit(1)).alias("c")).persist()
@@ -203,7 +205,7 @@ tr AS (
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
 dw AS (
-  SELECT event_type, (day - DATE '{_EPOCH}') % 7 AS dow,
+  SELECT event_type, (((day - DATE '{_EPOCH}') % 7) + 7) % 7 AS dow,
          CAST(SUM(CAST(total AS DECIMAL(38,6))) AS DOUBLE)
            / COUNT(*) AS dow_avg
   FROM daily GROUP BY 1, 2),
@@ -220,7 +222,7 @@ SELECT tr.event_type,
        round(total - trend - (dow_avg - all_avg), 6) AS residual
 FROM tr
 JOIN dw ON dw.event_type = tr.event_type
-       AND dw.dow = (tr.day - DATE '{_EPOCH}') % 7
+       AND dw.dow = (((tr.day - DATE '{_EPOCH}') % 7) + 7) % 7
 JOIN ov ON ov.event_type = tr.event_type
 """
 
@@ -320,11 +322,12 @@ WITH s AS (
     FROM events)
   GROUP BY event_type)
 SELECT event_type, n,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
-       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
-             6) AS intercept,
+       round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 9) AS slope,
+       round((sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)) * sx)
+               / n, 6) AS intercept,
        round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+               / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0),
+             9) AS r2
 FROM s
 """
 
@@ -367,12 +370,20 @@ def agg_linear_regression_per_type(
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     num = n * sxy - sx * sy
-    den = n * sxx - sx * sx
+    # nullif on every denominator, mirrored in the oracle: a group
+    # with one distinct day (zero x-variance) or zero y-variance must
+    # yield NULL on BOTH engines — without the guard Spark's non-ANSI
+    # division returns NULL while DuckDB's IEEE default returns
+    # inf/nan, a latent cross-engine divergence on degenerate groups
+    den = F.nullif(n * sxx - sx * sx, F.lit(0))
     slope = num / den
+    r2_den = F.nullif(
+        (n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0)
+    )
     return s.select(
         "event_type",
         "n",
         F.round(slope, 9).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round((num * num) / (den * (n * syy - sy * sy)), 9).alias("r2"),
+        F.round((num * num) / r2_den, 9).alias("r2"),
     )

@@ -261,7 +261,7 @@ _EPOCH = "2024-01-01"
 _CHI2_ORACLE = f"""
 WITH obs AS (
   SELECT event_type,
-         (date_trunc('day', ts)::DATE - DATE '{_EPOCH}') % 7 AS dow,
+         (((date_trunc('day', ts)::DATE - DATE '{_EPOCH}') % 7) + 7) % 7 AS dow,
          COUNT(*) AS o
   FROM events GROUP BY 1, 2),
 rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
@@ -273,8 +273,8 @@ cells AS (
               / (CAST(r AS DOUBLE) * c / n) AS DECIMAL(38,6)) AS contrib
   FROM obs JOIN rt USING (event_type) JOIN ct USING (dow), n)
 SELECT (SELECT CAST((COUNT(DISTINCT event_type) - 1)
-                    * (COUNT(DISTINCT (date_trunc('day', ts)::DATE
-                                       - DATE '{_EPOCH}') % 7) - 1)
+                    * (COUNT(DISTINCT (((date_trunc('day', ts)::DATE
+                                       - DATE '{_EPOCH}') % 7) + 7) % 7) - 1)
                AS BIGINT) FROM events) AS dof,
        CAST(SUM(contrib) AS DOUBLE) AS chi2
 FROM cells

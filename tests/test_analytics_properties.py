@@ -241,8 +241,74 @@ def test_standardize_matches_numpy(spark, vecs):
         _cleanup(d)
     a = np.array(vecs)
     z = (a - a.mean(axis=0)) / a.std(axis=0, ddof=1)
+    # the registered query returns the driver-hashable EXPLODED shape
+    # (vec_id, label, dim, zv), one row per element
     expect = {
-        (i, 0, tuple(round(float(x), 6) for x in z[i]))
+        (i, 0, dim, round(float(z[i][dim]), 6))
         for i in range(len(vecs))
+        for dim in range(3)
     }
     assert got == expect
+
+
+# --- OLS degenerate groups: NULL on both engines ---------------------
+
+
+def test_linreg_degenerate_groups_null_both_engines(spark):
+    """A group with a single distinct day has zero x-variance
+    (den = n*sxx - sx^2 = 0); one with constant y has zero y-variance
+    (r2 denominator = 0). Both must yield NULL slope/r2 on BOTH
+    engines — without the mirrored nullif guards, Spark's non-ANSI
+    division returns NULL while DuckDB's IEEE default returns
+    inf/nan (the round-5 ADVICE finding)."""
+    import duckdb
+
+    ts0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    day = datetime.timedelta(days=1)
+    rows = [
+        # one-day group: x-variance 0 -> slope/intercept/r2 NULL
+        ("oneday", ts0, 1.0),
+        ("oneday", ts0 + datetime.timedelta(hours=2), 5.0),
+        # constant-y group: y-variance 0 -> r2 NULL, slope 0
+        ("consty", ts0, 3.0),
+        ("consty", ts0 + day, 3.0),
+        ("consty", ts0 + 2 * day, 3.0),
+        # healthy group: everything defined
+        ("ok", ts0, 1.0),
+        ("ok", ts0 + day, 2.0),
+        ("ok", ts0 + 2 * day, 4.0),
+    ]
+    d = _tmp(
+        {
+            "events": {
+                "event_type": pa.array([r[0] for r in rows]),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        }
+    )
+    try:
+        got = {
+            r["event_type"]: (r["slope"], r["r2"])
+            for r in REGISTRY["agg_linear_regression_per_type"]
+            .spark(spark, d)
+            .collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+        )
+        oracle = {
+            r[0]: (r[2], r[4])
+            for r in con.execute(
+                REGISTRY["agg_linear_regression_per_type"].oracle
+            ).fetchall()
+        }
+    finally:
+        _cleanup(d)
+    assert got["oneday"] == (None, None)
+    assert got["consty"][1] is None
+    assert got["ok"][0] is not None and got["ok"][1] is not None
+    assert got == oracle

@@ -668,10 +668,12 @@ class TestRound5FourthPhasePlans:
     def test_triangle_wedges_behind_edge_barrier(self, spark, sf_dir):
         """Triangle enumeration must run over the PERSISTED
         degree-ORIENTED edge list (otherwise every join arm re-runs
-        the basket self-join), the degree table must BROADCAST into
-        the orientation join (shuffling edges against a |V|-row table
-        is backwards), and every join is a key equi-join: wedge
-        closure, never an all-pairs product."""
+        the basket self-join), and every join is a key equi-join:
+        wedge closure, never an all-pairs product. The degree table is
+        no longer FORCE-broadcast (|V| rows can exceed executor memory
+        at graph scale) — but because it is persisted, Catalyst sees
+        its true size and still elects a broadcast join here, which
+        this pin confirms at test scale."""
         plan = plan_of(spark, sf_dir, "graph_triangle_count")
         assert "InMemoryTableScan" in plan
         assert "CartesianProduct" not in plan
