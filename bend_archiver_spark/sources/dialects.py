@@ -179,10 +179,19 @@ class Dialect:
                 f"WHERE owner = '{database.upper()}'"
             )
         if self.name == "derby":
-            return (
+            # schema-scoped like the MySQL/Oracle forms — Derby's
+            # "databases" are schemas (sys.sysschemas), so multi-
+            # schema discovery must not leak other schemas' tables
+            # into each expansion (empty database = unscoped, for
+            # single-schema callers)
+            sql = (
                 "SELECT t.tablename AS name FROM sys.systables t "
+                "JOIN sys.sysschemas s ON t.schemaid = s.schemaid "
                 "WHERE t.tabletype = 'T'"
             )
+            if database:
+                sql += f" AND s.schemaname = '{database}'"
+            return sql
         raise ValueError(self.name)
 
     # --- delete-after-sync (A33-A34) ---------------------------------

@@ -198,6 +198,108 @@ class TestJdbcArchiveE2E:
         assert report.is_correct
         shutil.rmtree(str(tmp_path / "multi"), ignore_errors=True)
 
+    def test_multi_schema_live_discovery_and_rollup(
+        self, spark, derby, tmp_path
+    ):
+        """The closest this sandbox can get to the reference's second
+        live engine (its CI runs MySQL/MSSQL/Databend containers,
+        .github/workflows/ci.yaml:12-44; no second embedded JDBC jar
+        ships with Spark): a second real CATALOG SHAPE inside Derby.
+        Two user schemas with overlapping table names; the database
+        list comes LIVE from sys.sysschemas (not hardcoded), per-
+        schema table listing is schema-scoped (a leak across schemas
+        would double-archive), overlapping selectors dedup, and the
+        rollup verifies per-(schema, table) counts."""
+        from bend_archiver_spark.catalog import expand_db_tables
+        from bend_archiver_spark.multi import run_multi_table
+        from bend_archiver_spark.sources.dialects import get_dialect
+
+        jvm = spark._sc._jvm  # noqa: SLF001
+        conn = jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{derby};create=true"
+        )
+        st = conn.createStatement()
+        # same table NAME in both schemas, different row counts — a
+        # scoping bug would conflate them
+        for schema, n in (("ARCHA", 30), ("ARCHB", 45)):
+            st.execute(f"CREATE SCHEMA {schema}")
+            st.execute(
+                f"CREATE TABLE {schema}.EVENTS (ID BIGINT NOT NULL, V INT)"
+            )
+            for i in range(1, n + 1):
+                st.execute(
+                    f"INSERT INTO {schema}.EVENTS VALUES ({i}, {i})"
+                )
+        st.execute("CREATE TABLE ARCHA.NOTES (ID BIGINT NOT NULL)")
+        st.execute("INSERT INTO ARCHA.NOTES VALUES (1)")
+        conn.close()
+
+        dialect = get_dialect("derby")
+        url = dialect.jdbc_url("", 0, derby)
+        props = {"driver": dialect.driver}
+
+        def q(sql):
+            return [
+                r["NAME"]
+                for r in spark.read.format("jdbc")
+                .option("url", url)
+                .option("driver", dialect.driver)
+                .option("query", sql)
+                .load()
+                .collect()
+            ]
+
+        def list_databases():
+            return q(dialect.list_databases_sql())
+
+        def list_tables(db):
+            return q(dialect.list_tables_sql(db))
+
+        # live schema list includes both user schemas
+        assert {"ARCHA", "ARCHB"} <= set(list_databases())
+        # schema-scoped listing: no cross-schema leak
+        assert list_tables("ARCHA") == ["EVENTS", "NOTES"] or set(
+            list_tables("ARCHA")
+        ) == {"EVENTS", "NOTES"}
+        assert list_tables("ARCHB") == ["EVENTS"]
+
+        # overlapping selectors (both match ARCHA.EVENTS) must dedup
+        plan = expand_db_tables(
+            ["ARCH.@EVENTS", "ARCHA@.*"],
+            list_databases,
+            list_tables,
+        )
+        assert plan == {
+            "ARCHA": ["EVENTS", "NOTES"],
+            "ARCHB": ["EVENTS"],
+        }
+
+        cfg = _cfg(derby, "", source_table="", source_db="",
+                   source_db_tables=["ARCH.@EVENTS", "ARCHA@.*"])
+        report = run_multi_table(
+            spark,
+            cfg,
+            list_databases,
+            list_tables,
+            load_source=lambda db, table: spark.read.jdbc(
+                url, f"{db}.{table}", properties=props
+            ),
+            target_path_for=lambda db, table: str(
+                tmp_path / "mschema" / db / table
+            ),
+        )
+        assert len(report.reports) == 3
+        assert report.total_source_rows == 30 + 45 + 1
+        assert report.is_correct
+        # the two same-named tables landed separately with their own counts
+        assert spark.read.parquet(
+            str(tmp_path / "mschema" / "ARCHA" / "EVENTS")
+        ).count() == 30
+        assert spark.read.parquet(
+            str(tmp_path / "mschema" / "ARCHB" / "EVENTS")
+        ).count() == 45
+        shutil.rmtree(str(tmp_path / "mschema"), ignore_errors=True)
+
     def test_catalog_discovery_sees_fixture_table(self, spark, derby):
         from bend_archiver_spark.sources.dialects import get_dialect
 

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Measured scale rehearsal: do the five operators that claim
+linear(ish) scaling actually scale, beyond sf0.1?
+
+Builds 3x and 10x variants of the sf0.1 `documents` and `lineitem`
+tables in /tmp (the /root/testdata tree is read-only and tops out at
+sf0.1), times each scale-claiming query in a FRESH subprocess Spark
+session per (query, scale) point, and prints a JSON scaling table —
+the measurement SCALE.md's "corpus touched once" / m^1.5-wedge claims
+were missing (they were argued from plan shape only through round 5).
+
+Corpus construction (replica r = 0..n-1, r=0 the original):
+
+- `documents`: doc_id += r * 1_000_000; every word NOT in the Gopher
+  stopword list is caesar-shifted by r. This preserves each replica's
+  internal statistics (word counts, stopword ratio, alpha ratio, doc
+  lengths — so funnel-stage selectivity is identical per replica) and
+  each replica's internal near-dup structure (one transform applied
+  uniformly), while cross-replica 5-gram/shingle collisions stay
+  negligible — replicating text VERBATIM would put every surviving
+  doc in a 10-member LSH bucket cluster and blow candidate pairs up
+  QUADRATICALLY, which no real 10x corpus does. The benchmark side of
+  the decontamination query (doc_id < 10) exists only in replica 0,
+  so the bench stays fixed while the corpus scales — the production
+  shape.
+- `lineitem`: l_orderkey += r * 10_000_000, l_partkey += r * 1_000_000
+  — each replica is a DISJOINT isomorphic copy of the part
+  co-occurrence graph, so edges, wedges, and triangles all scale
+  exactly linearly and the measured factor is attributable to the
+  engine, not to changed graph topology.
+
+Usage:
+    python tools/scale_rehearsal.py            # full 1x/3x/10x table
+    python tools/scale_rehearsal.py --scales 1,10 --queries graph_triangle_count
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+WORK = "/tmp/scale_rehearsal"
+
+QUERIES = [
+    "graph_triangle_count",
+    "pipeline_curate_v2",
+    "pipeline_cdc_chunks",
+    "dedup_cross_corpus_minhash",
+    "agg_kmv_distinct_sketch",
+]
+
+# must match queries/text.py _STOPWORDS — the funnel's stopword rule
+STOPWORDS = frozenset(("the", "a", "of", "and", "to", "in"))
+
+
+def _caesar(word: str, r: int) -> str:
+    if word.lower() in STOPWORDS:
+        return word
+    out = []
+    for ch in word:
+        if "a" <= ch <= "z":
+            out.append(chr((ord(ch) - 97 + r) % 26 + 97))
+        elif "A" <= ch <= "Z":
+            out.append(chr((ord(ch) - 65 + r) % 26 + 65))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def build_corpus(n_replicas: int, out_dir: str) -> None:
+    """Write scaled documents.parquet + lineitem.parquet to out_dir."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+
+    docs = con.execute(
+        f"SELECT doc_id, text, lang, source, n_chars "
+        f"FROM '{SF01}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    rows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    for r in range(n_replicas):
+        for doc_id, text, lang, source, n_chars in docs:
+            rows["doc_id"].append(doc_id + r * 1_000_000)
+            rows["text"].append(
+                text
+                if r == 0
+                else " ".join(_caesar(w, r) for w in text.split(" "))
+            )
+            rows["lang"].append(lang)
+            rows["source"].append(source)
+            rows["n_chars"].append(n_chars)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "text": pa.array(rows["text"]),
+                "lang": pa.array(rows["lang"]),
+                "source": pa.array(rows["source"]),
+                "n_chars": pa.array(rows["n_chars"], pa.int64()),
+            }
+        ),
+        f"{out_dir}/documents.parquet",
+    )
+
+    con.execute(
+        f"""
+        COPY (
+          SELECT li.* REPLACE (
+                   l_orderkey + r * 10_000_000 AS l_orderkey,
+                   l_partkey + r * 1_000_000 AS l_partkey)
+          FROM '{SF01}/lineitem.parquet' li, range({n_replicas}) t(r)
+        ) TO '{out_dir}/lineitem.parquet' (FORMAT parquet)
+        """
+    )
+
+
+_TIMER = """
+import sys, time
+sys.path.insert(0, {repo!r})
+from bend_archiver_spark.queries import REGISTRY
+from bend_archiver_spark.session import get_spark
+name, sf_dir = {name!r}, {sf_dir!r}
+spark = get_spark("rehearsal")
+def force(df): df.write.format("noop").mode("overwrite").save()
+best = float("inf")
+for _ in range(2):
+    df = REGISTRY[name].spark(spark, sf_dir)
+    t0 = time.monotonic(); force(df)
+    best = min(best, time.monotonic() - t0)
+    spark.catalog.clearCache()
+print("RESULT", best)
+spark.stop()
+"""
+
+
+def time_query(name: str, sf_dir: str) -> float:
+    """Best-of-2 wall time in a fresh subprocess session (isolation:
+    no shared JIT/cache state between scale points)."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _TIMER.format(repo=REPO, name=name, sf_dir=sf_dir)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return float(line.split()[1])
+    raise RuntimeError(
+        f"{name} @ {sf_dir} failed:\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,3,10")
+    ap.add_argument("--queries", default=",".join(QUERIES))
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+    queries = args.queries.split(",")
+
+    dirs = {}
+    for s in scales:
+        if s == 1:
+            dirs[s] = SF01
+            continue
+        d = f"{WORK}/x{s}"
+        if not (
+            os.path.exists(f"{d}/documents.parquet")
+            and os.path.exists(f"{d}/lineitem.parquet")
+        ):
+            print(f"building {s}x corpus at {d} ...", file=sys.stderr)
+            build_corpus(s, d)
+        dirs[s] = d
+
+    table = {}
+    for name in queries:
+        table[name] = {}
+        for s in scales:
+            sec = time_query(name, dirs[s])
+            table[name][f"x{s}"] = round(sec, 3)
+            print(f"{name} x{s}: {sec:.3f}s", file=sys.stderr)
+        base = table[name].get("x1")
+        if base:
+            for s in scales[1:]:
+                table[name][f"factor_x{s}"] = round(
+                    table[name][f"x{s}"] / base, 2
+                )
+    print(json.dumps({"scales": scales, "timings": table}))
+
+
+if __name__ == "__main__":
+    main()
