@@ -712,6 +712,140 @@ def ann_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANN recall curve -------------------------------------------------
+
+_RC_TABLES = 8
+_RC_PLANES = 6
+_RC_CONFIGS = (1, 2, 4, 8)
+
+_RC_ORACLE = f"""
+WITH e AS ({_E_SQL}),
+norms AS ({_NORMS_SQL}),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(q.xq * c.xq) AS dot
+  FROM e q JOIN e c ON q.i = c.i
+  WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY {_COSINE_SQL} DESC, neighbor_id) AS rank
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id),
+truth AS (SELECT query_id, neighbor_id FROM scored WHERE rank <= {_TOP_K}),
+signs AS (
+  SELECT p.g, d.i,
+         CASE WHEN {hash64_sql("concat(p.g, '_', d.i)")} % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT unnest(range(0, {_RC_TABLES * _RC_PLANES})) AS g) p,
+       (SELECT unnest(range(0, 64)) AS i) d),
+proj AS (
+  SELECT e.vec_id, s.g, SUM(e.xq * s.sgn) AS dot_g
+  FROM e JOIN signs s ON s.i = e.i GROUP BY 1, 2),
+buckets AS (
+  SELECT vec_id, g // {_RC_PLANES} AS tbl,
+         SUM(CASE WHEN dot_g > 0
+                  THEN (1::BIGINT << (g % {_RC_PLANES})) ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1, 2),
+coll AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         MIN(q.tbl) AS first_tbl
+  FROM buckets q
+  JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2),
+joined AS (
+  SELECT t.query_id, t.neighbor_id, coll.first_tbl
+  FROM truth t
+  LEFT JOIN coll ON coll.query_id = t.query_id
+              AND coll.neighbor_id = t.neighbor_id)
+SELECT CAST(c.n_tables AS BIGINT) AS n_tables,
+       CAST({_RC_PLANES} AS BIGINT) AS n_planes,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN j.first_tbl < c.n_tables
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN j.first_tbl < c.n_tables
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+FROM joined j, (SELECT unnest([{", ".join(map(str, _RC_CONFIGS))}])
+                AS n_tables) c
+GROUP BY c.n_tables
+"""
+
+
+@register(
+    "ann_recall_curve",
+    oracle=_RC_ORACLE,
+    tags=("similarity", "ann", "lsh", "evaluation"),
+)
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-cost sweep of the multi-table LSH candidate
+    generator against exact brute-force ground truth — the
+    ``dedup_lsh_eval`` audit pattern applied to ANN. For each config
+    "first T of 8 six-plane tables" (T = 1, 2, 4, 8), recall@k is the
+    fraction of true top-{_TOP_K} neighbor pairs that collide with
+    their query in at least one of the first T tables. One row per
+    config of exact int64 counts plus the derived recall double —
+    the sweep that answers "how many tables does THIS corpus need"
+    before committing an index build to a configuration.
+
+    Scale: the 8x6 sign projections are ONE narrow map-side pass over
+    the corpus (``lsh_table_buckets``: signs broadcast as a one-row
+    literal matrix, no join); collisions are a (tbl, bucket) equi-join
+    with the query side broadcast; every config is answered from the
+    SAME per-pair min-table aggregate (the sweep costs one conditional
+    sum per config, never a re-hash or re-join of the corpus). Ground
+    truth is |Q| x N brute force — at 100 TB you'd run the audit on a
+    hash-sampled slice, composing with ``pipeline_hash_sample``, same
+    note as ``dedup_lsh_eval``."""
+    emb = t(spark, sf_dir, "embeddings")
+    truth = ops.cosine_topk(
+        emb, "vec_id", "embedding", F.col("vec_id") < _N_QUERIES, k=_TOP_K
+    ).select("query_id", "neighbor_id")
+    v = ops.quantized_vectors(emb, "vec_id", "embedding")
+    buckets = ops.lsh_table_buckets(
+        v, n_tables=_RC_TABLES, n_planes=_RC_PLANES
+    )
+    bq = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    bc = buckets.select(
+        F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
+    )
+    coll = (
+        F.broadcast(bq)
+        .join(bc, ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("tbl").alias("first_tbl"))
+    )
+    joined = truth.join(coll, ["query_id", "neighbor_id"], "left")
+    confs = spark.createDataFrame(
+        [(c,) for c in _RC_CONFIGS], "n_tables int"
+    )
+    hit = F.when(F.col("first_tbl") < F.col("n_tables"), 1).otherwise(0)
+    return (
+        joined.crossJoin(F.broadcast(confs))
+        .groupBy("n_tables")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.sum(hit).cast("bigint").alias("n_hits"),
+        )
+        .select(
+            F.col("n_tables").cast("bigint").alias("n_tables"),
+            F.lit(_RC_PLANES).cast("bigint").alias("n_planes"),
+            "n_truth",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 from .base import REGISTRY as _REG  # noqa: E402
 
 _REG["ann_topk_mmr"].oracle = _mmr_oracle()

@@ -367,6 +367,20 @@ class TestNoPythonInHotPath:
         assert "BatchEvalPython" not in plan
 
 
+class TestAnnRecallCurvePlan:
+    def test_sweep_is_one_join_plus_conditional_sums(self, spark, sf_dir):
+        """The 4-config sweep must re-use ONE (tbl, bucket) collision
+        join and one per-pair min-table aggregate — never a per-config
+        re-hash or re-join of the corpus. Broadcast sides: query
+        buckets, the 4-row config table, and the brute-force query
+        vectors; no unbounded cartesian."""
+        plan = plan_of(spark, sf_dir, "ann_recall_curve")
+        assert "CartesianProduct" not in plan
+        # exactly one equi-join on the (tbl, bucket) collision keys
+        assert plan.count("Join") >= 2  # collision + truth-left-join
+        assert "partial_min" in plan  # min-table aggregate combines
+
+
 class TestRegistryOutputShapes:
     def test_no_complex_typed_output_columns(self, spark, sf_dir):
         """The driver's canonicalizer sorts the result frame by every
