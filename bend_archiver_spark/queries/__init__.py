@@ -38,5 +38,10 @@ from . import analytics5  # noqa: F401,E402
 from . import verify2  # noqa: F401,E402
 from . import analytics6  # noqa: F401,E402
 from . import retrieval2  # noqa: F401,E402
+from . import analytics7  # noqa: F401,E402
+from . import text3  # noqa: F401,E402
+from . import embedding3  # noqa: F401,E402
+from . import graph2  # noqa: F401,E402
+from . import pipeline3  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec"]

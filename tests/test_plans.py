@@ -367,6 +367,39 @@ class TestNoPythonInHotPath:
         assert "BatchEvalPython" not in plan
 
 
+class TestRound6PrefixPlans:
+    """Round-6 queries whose global ranks must come from the
+    two-phase prefix machinery, never a SinglePartition sort of
+    corpus-proportional data (vocabulary / document ranks)."""
+
+    def test_zipf_rank_is_distributed(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "text_zipf_fit")
+        assert "_pid" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_systematic_sample_rank_is_distributed(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "pipeline_systematic_sample")
+        assert "_pid" in plan
+        assert "row_number" not in plan.lower()
+
+    def test_interleave_uses_global_prefix_not_source_window(
+        self, spark, sf_dir
+    ):
+        """Per-source rank = global prefix rank - broadcast offsets;
+        the only window allowed is over the |sources|-row count
+        table, so no hashpartitioning exchange on source feeds a
+        Window (which would sort each corpus-proportional source in
+        one task)."""
+        plan = plan_of(spark, sf_dir, "pipeline_interleave_sources")
+        assert "_pid" in plan
+        assert "BroadcastHashJoin" in plan  # offsets + source-index join
+
+    def test_block_fingerprint_single_combinable_pass(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "verify_block_fingerprints")
+        assert plan.count("Exchange") == 1  # one groupBy, map-combined
+        assert "partial" in plan
+
+
 class TestAnnRecallCurvePlan:
     def test_sweep_is_one_join_plus_conditional_sums(self, spark, sf_dir):
         """The 4-config sweep must re-use ONE (tbl, bucket) collision
@@ -810,16 +843,14 @@ class TestRound5SixthPhasePlans:
     def test_standardize_broadcast_dim_stats(self, spark, sf_dir):
         """The |dims|-row stats table must broadcast onto the element
         stream — shuffling corpus elements against 64 rows is
-        backwards — and the vector regroup is the only corpus-keyed
-        exchange."""
+        backwards. Since the round-6 reshape the registered query
+        emits the exploded scalar frame directly (no collect_list
+        regroup — that lives in the unregistered standardized_vectors
+        helper), so the element stream is never shuffled at all."""
         plan = plan_of(spark, sf_dir, "embedding_standardize_dims")
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
-        # (reassembly determinism — the struct sort neutralizing
-        # collect_list arrival order — is proven by the
-        # partition-invariance test; simple-mode explain truncates
-        # aggregate expression lists so it cannot be pinned here)
-        assert "ObjectHashAggregate" in plan
+        assert "ObjectHashAggregate" not in plan  # regroup is gone
 
 
 class TestVerificationAndDriftPlans:
@@ -865,8 +896,12 @@ class TestLinkPredictionAndABCPlans:
         assert "CartesianProduct" not in plan
 
     def test_abc_single_combinable_reduce(self, spark, sf_dir):
-        """One map-combinable revenue groupBy feeds the catalog-
-        bounded cumulative window; no joins anywhere."""
+        """One map-combinable revenue groupBy feeds the cumulative
+        walk; since round 6 the walk is the distributed prefix sum, so
+        the only joins are its broadcast offsets join and the 1-row
+        grand-total broadcast (see also
+        test_abc_classification_uses_prefix_sum)."""
         plan = plan_of(spark, sf_dir, "orders_abc_classification")
         assert "partial_sum" in plan
-        assert "Join" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan

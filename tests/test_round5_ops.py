@@ -443,9 +443,12 @@ class TestStandardizeSemantics:
         )
         got = _run(spark, tmp_path, "embedding_standardize_dims")
         z = 0.707107  # 1/sqrt(2) rounded to 6 dp
+        # round-6 reshape: exploded scalar rows (vec_id, label, dim, zv)
         assert got == {
-            (1, 0, (-z, -z)),
-            (2, 1, (z, z)),
+            (1, 0, 0, -z),
+            (1, 0, 1, -z),
+            (2, 1, 0, z),
+            (2, 1, 1, z),
         }
 
 
