@@ -65,6 +65,24 @@ QUERIES = [
     "text_phrase_search",
     "dedup_span_coverage",
     "text_langid_confusion",
+    # round-6: self-entropy (empty/whitespace docs tokenize to [''],
+    # single-token docs have zero entropy, doc 4's all-identical
+    # tokens are the minimum-bits case), sentence stats (docs with no
+    # [.!?] delimiter are one sentence; symbol-only doc 5 is '###'
+    # fragments around the dots), the Zipf fit (tiny vocabulary ->
+    # few octaves, division guards), novelty (duplicate docs 6/7:
+    # only the smaller doc_id owns their shared grams — but both are
+    # under the 3-gram floor here, so the empty-result parity is the
+    # test), the cluster-size histogram (docs 6/7 form the one size-2
+    # cluster), and systematic sampling / interleave on a 10-doc
+    # corpus (ranks 1..10, only rank 1 sampled).
+    "text_entropy_bits",
+    "text_sentence_stats",
+    "text_zipf_fit",
+    "text_ngram_novelty_rate",
+    "dedup_cluster_size_histogram",
+    "pipeline_systematic_sample",
+    "pipeline_interleave_sources",
 ]
 
 

@@ -64,6 +64,25 @@ QUERIES = [
     # final slots: ABC classes are decided by exact decimal
     # cross-multiplication over a total order — the claim under test.
     "orders_abc_classification",
+    # round-6 additions: the distributed-ntile RFM scores (prefix-sum
+    # ranks must absorb the partition count, same as the weighted
+    # median), the dyadic EWMA (power-of-two weights => exact), the
+    # CUSUM argmax (exact decimal statistic with day tie-break), the
+    # Zipf octave fit (prefix-sum ranks + integer OLS), n-gram
+    # novelty (min-owner groupBy), onion peeling (iterative semi-join
+    # survivor sets), the source interleave (global prefix rank minus
+    # broadcast offsets MUST equal the per-source window form), block
+    # fingerprints (bit_xor is the order-independence claim itself),
+    # and the LSH recall sweep (min-table aggregate over collisions).
+    "orders_rfm_segmentation",
+    "timeseries_ewma_daily",
+    "timeseries_changepoint_cusum",
+    "text_zipf_fit",
+    "text_ngram_novelty_rate",
+    "graph_kcore_peel",
+    "pipeline_interleave_sources",
+    "verify_block_fingerprints",
+    "ann_recall_curve",
 ]
 
 
