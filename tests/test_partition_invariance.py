@@ -83,6 +83,14 @@ QUERIES = [
     "pipeline_interleave_sources",
     "verify_block_fingerprints",
     "ann_recall_curve",
+    # round-6 second batch: Gini (prefix ranks + exact decimal rank
+    # products), islands encoding (two windows over one exchange),
+    # shard packing (byte prefix sum), composed seasonal strength
+    # (decimal re-sums of rounded components).
+    "agg_gini_revenue",
+    "events_runs_encoding",
+    "multimodal_shard_pack",
+    "timeseries_seasonal_strength",
 ]
 
 

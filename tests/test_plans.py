@@ -399,6 +399,29 @@ class TestRound6PrefixPlans:
         assert plan.count("Exchange") == 1  # one groupBy, map-combined
         assert "partial" in plan
 
+    def test_gini_ranks_distributed_not_per_segment_window(
+        self, spark, sf_dir
+    ):
+        """Within-segment ranks = global prefix rank minus broadcast
+        offsets; segments are corpus-proportional so a per-segment
+        row_number window (one task per segment) is banned."""
+        plan = plan_of(spark, sf_dir, "agg_gini_revenue")
+        assert "_pid" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_shard_pack_prefix_sum(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "multimodal_shard_pack")
+        assert "_pid" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_vocab_overlap_bounded_pair_groups(self, spark, sf_dir):
+        """Token-keyed self-join then |sources|^2 pair rollup; vocab
+        sizes broadcast — no nested loop over two corpus sides."""
+        plan = plan_of(spark, sf_dir, "text_source_vocab_overlap")
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan  # shared tok barrier
+        assert "BroadcastHashJoin" in plan
+
 
 class TestAnnRecallCurvePlan:
     def test_sweep_is_one_join_plus_conditional_sums(self, spark, sf_dir):
