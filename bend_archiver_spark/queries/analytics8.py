@@ -62,6 +62,7 @@ FROM s
 @register(
     "agg_gini_revenue",
     oracle=_GINI_ORACLE,
+    headline=True,
     tags=("agg", "statistics", "inequality"),
 )
 def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,7 +108,6 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("offset"),
     )
     rk = F.col("grank") - F.col("offset")
-    xd = F.col("x").cast("double")
     s = (
         ranked.join(F.broadcast(offsets), "segment")
         .select("segment", "x", rk.alias("rk"))

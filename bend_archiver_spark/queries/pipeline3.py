@@ -172,6 +172,7 @@ _FP_ROW_SQL = (
     FROM lineitem
     GROUP BY 1
     """,
+    headline=True,
     tags=("verify", "archiver", "fingerprint"),
 )
 def verify_block_fingerprints(
