@@ -44,5 +44,6 @@ from . import embedding3  # noqa: F401,E402
 from . import graph2  # noqa: F401,E402
 from . import pipeline3  # noqa: F401,E402
 from . import analytics8  # noqa: F401,E402
+from . import analytics9  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec"]

@@ -91,6 +91,12 @@ QUERIES = [
     "events_runs_encoding",
     "multimodal_shard_pack",
     "timeseries_seasonal_strength",
+    # round-6 third batch: HLL registers (int64 max + bit shifts are
+    # the invariance claim), the integer-cross-multiplied threshold
+    # sweep, and the ntile_distributed decile rollup.
+    "agg_hll_distinct_sketch",
+    "dedup_threshold_curve",
+    "text_ttr_by_length_decile",
 ]
 
 
