@@ -66,6 +66,39 @@ class TestGiniSemantics:
         assert got["B"] == (4, ref_gini([1.0, 1.0, 1.0, 997.0]))
 
 
+# --- standardized_vectors helper: regroup of the registered query ------
+
+
+class TestStandardizedVectorsHelper:
+    def test_regroup_matches_exploded_rows(self, spark, tmp_path):
+        """The unregistered array-shaped companion must be exactly the
+        registered exploded query regrouped in dim order."""
+        from bend_archiver_spark.queries.analytics5 import (
+            standardized_vectors,
+        )
+
+        _write(
+            tmp_path,
+            "embeddings",
+            {
+                "vec_id": pa.array([1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[0.0, 10.0], [2.0, 14.0]], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0, 1], pa.int32()),
+            },
+        )
+        exploded = _run(spark, tmp_path, "embedding_standardize_dims")
+        vecs = {
+            (r["vec_id"], r["label"]): list(r["zvec"])
+            for r in standardized_vectors(spark, str(tmp_path)).collect()
+        }
+        for (vec_id, label), zvec in vecs.items():
+            for dim, zv in enumerate(zvec):
+                assert (vec_id, label, dim, zv) in exploded
+        assert sum(len(v) for v in vecs.values()) == len(exploded)
+
+
 # --- runs encoding: replay ---------------------------------------------
 
 
