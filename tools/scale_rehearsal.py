@@ -120,6 +120,26 @@ def build_corpus(n_replicas: int, out_dir: str) -> None:
         ) TO '{out_dir}/lineitem.parquet' (FORMAT parquet)
         """
     )
+    # orders/customer: disjoint key-offset replicas (the per-customer
+    # rollups and segment Gini then scale linearly by construction)
+    con.execute(
+        f"""
+        COPY (
+          SELECT o.* REPLACE (
+                   o_orderkey + r * 10_000_000 AS o_orderkey,
+                   o_custkey + r * 1_000_000 AS o_custkey)
+          FROM '{SF01}/orders.parquet' o, range({n_replicas}) t(r)
+        ) TO '{out_dir}/orders.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT c.* REPLACE (c_custkey + r * 1_000_000 AS c_custkey)
+          FROM '{SF01}/customer.parquet' c, range({n_replicas}) t(r)
+        ) TO '{out_dir}/customer.parquet' (FORMAT parquet)
+        """
+    )
 
 
 _TIMER = """
@@ -172,9 +192,9 @@ def main() -> None:
             dirs[s] = SF01
             continue
         d = f"{WORK}/x{s}"
-        if not (
-            os.path.exists(f"{d}/documents.parquet")
-            and os.path.exists(f"{d}/lineitem.parquet")
+        needed = ["documents", "lineitem", "orders", "customer"]
+        if not all(
+            os.path.exists(f"{d}/{t}.parquet") for t in needed
         ):
             print(f"building {s}x corpus at {d} ...", file=sys.stderr)
             build_corpus(s, d)
