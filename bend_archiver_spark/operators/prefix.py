@@ -26,7 +26,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["prefix_sum", "ntile_distributed"]
+__all__ = ["prefix_sum", "ntile_distributed", "grouped_rank"]
 
 
 def prefix_sum(
@@ -107,7 +107,10 @@ def ntile_distributed(
         .withColumn("_rank", F.col("_rank").cast("bigint"))
         .drop("_one")
     )
-    n = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    # n = max rank, read from the ALREADY-CHECKPOINTED ranked frame —
+    # a separate df.agg(count) would re-execute the whole upstream
+    # lineage (chained ntile calls would each pay a full extra pass)
+    n = ranked.agg(F.max("_rank").cast("bigint").alias("_n"))
     return (
         ranked.crossJoin(F.broadcast(n))
         .withColumn("_base", F.expr(f"_n DIV {int(k)}"))
@@ -129,4 +132,49 @@ def ntile_distributed(
             .cast("bigint"),
         )
         .drop("_n", "_base", "_rem", "_cut", "_rank")
+    )
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    out_col: str = "rank",
+) -> DataFrame:
+    """Within-group rank 1..n_g over the (group, *order_cols) total
+    order WITHOUT per-group windows (groups can be corpus-
+    proportional — a window would sort each group in one task): ONE
+    global prefix-sum rank over (group_col, *order_cols), minus each
+    group's broadcast start offset (exclusive running count over the
+    |groups|-row table). Bit-identical to the per-group window form.
+
+    Caller contract: filter NULL group keys first when any
+    cross-group artifact (a group index, an interleave position)
+    enters the output — Spark orders ASC NULLS FIRST while DuckDB
+    defaults NULLS LAST, so a NULL group would shift every other
+    group's cross-engine index. Pure within-group ranks are safe
+    either way (each group's ranks are internally consistent)."""
+    ranked = prefix_sum(
+        df.withColumn("_one", F.lit(1)),
+        [group_col, *order_cols],
+        "_one",
+        out_col="_grk",
+        precision="decimal(38,0)",
+    ).withColumn("_grk", F.col("_grk").cast("bigint")).drop("_one")
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt")
+    )
+    w_off = Window.orderBy(group_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        group_col,
+        F.coalesce(
+            F.sum("_cnt").over(w_off), F.lit(0).cast("bigint")
+        ).alias("_goff"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), group_col)
+        .withColumn(out_col, F.col("_grk") - F.col("_goff"))
+        .drop("_grk", "_goff")
     )

@@ -104,7 +104,9 @@ _CHAR_BIN_W = 50  # n_chars bin width for the per-source sketches
 
 _HMERGE_ORACLE = f"""
 WITH sk AS (
-  SELECT source, CAST(n_chars // {_CHAR_BIN_W} AS BIGINT) AS bin,
+  SELECT source,
+         CAST(floor(CAST(n_chars AS DOUBLE) / {_CHAR_BIN_W})
+              AS BIGINT) AS bin,
          COUNT(*) AS c
   FROM documents GROUP BY 1, 2),
 u AS (
@@ -155,8 +157,10 @@ def agg_histogram_merge_sources(
     # cache instead of re-scanning the corpus per branch
     sk = d.groupBy(
         "source",
-        # floor, not cast: cast truncates toward zero and would
-        # diverge from the oracle's // on any negative n_chars
+        # floor on BOTH engines via explicit floor-of-double-division
+        # (DuckDB's integer // TRUNCATES toward zero like a bigint
+        # cast — verified (-49)//50 = 0 — so the oracle must spell
+        # floor out too or negative n_chars diverges)
         F.floor(F.col("n_chars") / _CHAR_BIN_W)
         .cast("bigint")
         .alias("bin"),

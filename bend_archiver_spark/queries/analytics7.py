@@ -34,7 +34,7 @@ import datetime
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .base import register, t
+from .base import dec_sum, register, t
 
 _EPOCH = datetime.date(2024, 1, 1)
 
@@ -47,6 +47,10 @@ _DAILY_SQL = """
 
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted: the MAD query references this rollup from ~6 join
+    # arms (med/dev/mad branches) and EWMA/xcorr from 2 each —
+    # exchange reuse is an optimizer courtesy, not a guarantee (repo
+    # rule 4), so the (types x days) frame is cached explicitly
     ev = t(spark, sf_dir, "events")
     return ev.groupBy(
         "event_type",
@@ -55,7 +59,7 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(38,6)"))
         .cast("double")
         .alias("total")
-    )
+    ).persist()
 
 
 # --- EWMA with dyadic weights -----------------------------------------
@@ -247,8 +251,9 @@ s AS (
   GROUP BY l.lag)
 SELECT lag, n,
        round((n * sxy - sx * sy)
-               / nullif(sqrt(n * sxx - sx * sx)
-                        * sqrt(n * syy - sy * sy), 0), 9) AS corr
+               / nullif(sqrt(greatest(n * sxx - sx * sx, 0))
+                        * sqrt(greatest(n * syy - sy * sy, 0)), 0),
+             9) AS corr
 FROM s
 """
 
@@ -278,24 +283,29 @@ def timeseries_cross_correlation(
     lags = spark.range(_MAX_LAG + 1).select(
         F.col("id").cast("bigint").alias("lag")
     )
-    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
     s = (
         F.broadcast(lags)
         .join(a.crossJoin(b), F.datediff("bday", "aday") == F.col("lag"))
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            d(F.col("x")).alias("sx"),
-            d(F.col("y")).alias("sy"),
-            d(F.col("x") * F.col("x")).alias("sxx"),
-            d(F.col("y") * F.col("y")).alias("syy"),
-            d(F.col("x") * F.col("y")).alias("sxy"),
+            dec_sum(F.col("x"), "sx"),
+            dec_sum(F.col("y"), "sy"),
+            dec_sum(F.col("x") * F.col("x"), "sxx"),
+            dec_sum(F.col("y") * F.col("y"), "syy"),
+            dec_sum(F.col("x") * F.col("y"), "sxy"),
         )
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # greatest(.,0) under each sqrt: the decimal-rounded moment sums
+    # can land a zero variance at a tiny NEGATIVE double, which DuckDB
+    # sqrt() raises on (Out of Range) while Spark returns NaN — clamp
+    # on BOTH engines so degenerate lags yield NULL everywhere
     corr = (n * sxy - sx * sy) / F.nullif(
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy), F.lit(0)
+        F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0)))
+        * F.sqrt(F.greatest(n * syy - sy * sy, F.lit(0.0))),
+        F.lit(0),
     )
     return s.select("lag", "n", F.round(corr, 9).alias("corr"))
 
@@ -397,7 +407,8 @@ WITH s AS (
 SELECT event_type, n,
        round((s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n)
                 * (s1 / n))
-               / nullif(n * pow(sqrt((s2 - s1 * s1 / n) / n), 3), 0),
+               / nullif(n * pow(sqrt(greatest((s2 - s1 * s1 / n) / n,
+                                              0)), 3), 0),
              9) AS skewness,
        round((s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2
                 - 3 * n * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
@@ -427,20 +438,21 @@ def agg_skewness_kurtosis_manual(
     ~1e16, far inside DECIMAL(38,6)."""
     ev = t(spark, sf_dir, "events")
     v = F.col("value")
-    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        d(v).alias("s1"),
-        d(v * v).alias("s2"),
-        d(v * v * v).alias("s3"),
-        d(v * v * v * v).alias("s4"),
+        dec_sum(v, "s1"),
+        dec_sum(v * v, "s2"),
+        dec_sum(v * v * v, "s3"),
+        dec_sum(v * v * v * v, "s4"),
     )
     n = F.col("n")
     s1, s2, s3, s4 = F.col("s1"), F.col("s2"), F.col("s3"), F.col("s4")
     m = s1 / n
     m2 = (s2 - s1 * s1 / n) / n
+    # clamp m2 under the sqrt (DuckDB sqrt(tiny negative) errors,
+    # Spark yields NaN; both must give NULL for zero-variance groups)
     skew = (s3 - 3 * m * s2 + 2 * n * m * m * m) / F.nullif(
-        n * F.pow(F.sqrt(m2), F.lit(3)), F.lit(0)
+        n * F.pow(F.sqrt(F.greatest(m2, F.lit(0.0))), F.lit(3)), F.lit(0)
     )
     kurt = (
         s4 - 4 * m * s3 + 6 * m * m * s2 - 3 * n * m * m * m * m

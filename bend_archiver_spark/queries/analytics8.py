@@ -27,9 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.prefix import prefix_sum
+from ..operators.prefix import grouped_rank, prefix_sum
 from .analytics4 import _DECOMP_ORACLE
-from .base import hash64_expr, hash64_sql, register, t
+from .base import dec_sum, hash64_expr, hash64_sql, register, t
 
 _SHARD_BYTES = 65536
 
@@ -89,28 +89,15 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("x")
         )
     )
-    ranked = prefix_sum(
-        spend.withColumn("_one", F.lit(1)),
-        ["segment", "x", "o_custkey"],
-        "_one",
-        out_col="grank",
-        precision="decimal(38,0)",
-    ).withColumn("grank", F.col("grank").cast("bigint"))
-    counts = spend.groupBy("segment").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    # within-segment ranks via the shared grouped_rank helper (global
+    # prefix rank minus broadcast offsets); NULL segments are safe
+    # here because only WITHIN-group ranks enter the output — see the
+    # helper's caller contract
+    ranked = grouped_rank(
+        spend, "segment", ["x", "o_custkey"], out_col="rk"
     )
-    ws = Window.orderBy("segment")
-    offsets = counts.select(
-        "segment",
-        F.coalesce(
-            F.sum("cnt").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0).cast("bigint"),
-        ).alias("offset"),
-    )
-    rk = F.col("grank") - F.col("offset")
     s = (
-        ranked.join(F.broadcast(offsets), "segment")
-        .select("segment", "x", rk.alias("rk"))
+        ranked.select("segment", "x", "rk")
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -224,13 +211,12 @@ def timeseries_seasonal_strength(
 
     decomp = timeseries_seasonal_decompose(spark, sf_dir)
     sr_col = F.col("seasonal") + F.col("residual")
-    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
     s = decomp.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        d(F.col("residual")).alias("sr"),
-        d(F.col("residual") * F.col("residual")).alias("srr"),
-        d(sr_col * sr_col).alias("sss"),
-        d(sr_col).alias("ss"),
+        dec_sum(F.col("residual"), "sr"),
+        dec_sum(F.col("residual") * F.col("residual"), "srr"),
+        dec_sum(sr_col * sr_col, "sss"),
+        dec_sum(sr_col, "ss"),
     )
     n = F.col("n")
     var_r = F.col("srr") - F.col("sr") * F.col("sr") / n

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as ops
 from .base import register, t
-from .similarity import _COSINE_SQL, _E_SQL, _NORMS_SQL, _TOP_K
+from .similarity import _COSINE_SQL, _E_SQL, _NORMS_SQL
 
 _ACC_QUERIES = 100  # vec_id < 100 are the 1-NN evaluation queries
 _HIST_QUERIES = 50

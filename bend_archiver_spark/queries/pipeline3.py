@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.prefix import prefix_sum
+from ..operators.prefix import grouped_rank, prefix_sum
 from .base import hash64_expr, hash64_sql, register, t
 
 _SAMPLE_EVERY = 50
@@ -77,7 +77,7 @@ def pipeline_systematic_sample(
     WITH h AS (
       SELECT doc_id, source,
              {hash64_sql("concat('mix_', doc_id)")} AS hk
-      FROM documents),
+      FROM documents WHERE source IS NOT NULL),
     si AS (
       SELECT source,
              ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx,
@@ -111,46 +111,35 @@ def pipeline_interleave_sources(
     contiguous in that total order — minus each source's broadcast
     start offset (exclusive running total of per-source counts over
     the |sources|-row table) gives the same rank with every phase
-    parallel; bit-identical to the window form, which the oracle
-    uses."""
-    d = t(spark, sf_dir, "documents")
+    parallel (the shared ``grouped_rank`` helper); bit-identical to
+    the window form, which the oracle uses. NULL sources are filtered
+    on BOTH engines: src_idx is a CROSS-group artifact, and Spark
+    (NULLS FIRST) and DuckDB (NULLS LAST) would index a NULL group at
+    opposite ends, shifting every position — the grouped_rank caller
+    contract."""
+    d = t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
     h = d.select(
         "doc_id",
         "source",
         hash64_expr(F.concat(F.lit("mix_"), F.col("doc_id"))).alias("hk"),
     )
-    ranked = prefix_sum(
-        h.withColumn("_one", F.lit(1)),
-        ["source", "hk", "doc_id"],
-        "_one",
-        out_col="grank",
-        precision="decimal(38,0)",
-    ).withColumn("grank", F.col("grank").cast("bigint"))
-    counts = h.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    # |sources|-row table: source index + exclusive offset in the
-    # same (source ASC) order the global rank walks
+    ranked = grouped_rank(h, "source", ["hk", "doc_id"], out_col="src_rank")
     from pyspark.sql import Window
 
+    counts = h.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
     ws = Window.orderBy("source")
     si = counts.select(
         "source",
         (F.row_number().over(ws) - 1).cast("bigint").alias("src_idx"),
-        F.coalesce(
-            F.sum("cnt").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0).cast("bigint"),
-        ).alias("offset"),
     ).crossJoin(
         counts.agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"))
     )
     return ranked.join(F.broadcast(si), "source").select(
         "doc_id",
         "source",
-        (F.col("grank") - F.col("offset")).alias("src_rank"),
+        F.col("src_rank"),
         (
-            (F.col("grank") - F.col("offset") - 1) * F.col("n_sources")
-            + F.col("src_idx")
+            (F.col("src_rank") - 1) * F.col("n_sources") + F.col("src_idx")
         ).alias("position"),
     )
 

@@ -66,6 +66,46 @@ class TestGiniSemantics:
         assert got["B"] == (4, ref_gini([1.0, 1.0, 1.0, 997.0]))
 
 
+# --- histogram bin floor parity on negative lengths ---------------------
+
+
+class TestHistogramNegativeBinParity:
+    def test_negative_n_chars_bins_match_oracle(self, spark, tmp_path):
+        """DuckDB's integer // TRUNCATES toward zero ((-49)//50 = 0)
+        while floor(-49/50) = -1 — the round-6 code-review's top
+        finding: the oracle must spell out floor-of-double-division or
+        any negative n_chars (corrupt metadata) lands in a different
+        bin per engine. Exercises the exact divergence input."""
+        import duckdb
+
+        from bend_archiver_spark.queries import REGISTRY
+        from tests.oracle_compare import compare_frames
+
+        _write(
+            tmp_path,
+            "documents",
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["a", "b", "c", "d"]),
+                "source": pa.array(["s1", "s1", "s2", "s2"]),
+                "n_chars": pa.array([-49, -51, 0, 120], pa.int64()),
+            },
+        )
+        spec = REGISTRY["agg_histogram_merge_sources"]
+        spark_pdf = spec.spark(spark, str(tmp_path)).toPandas()
+        spark.catalog.clearCache()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'"
+        )
+        duck_pdf = con.execute(spec.oracle).df()
+        res = compare_frames(spark_pdf, duck_pdf)
+        assert (
+            res["rows_match"] and res["cols_match"] and res["values_match"]
+        ), res
+
+
 # --- standardized_vectors helper: regroup of the registered query ------
 
 
