@@ -143,6 +143,9 @@ _CHANGED_R06 = frozenset({
     "agg_histogram_merge_sources", "agg_linear_regression_per_type",
     "graph_bfs_hops", "graph_triangle_count",
     "embedding_standardize_dims",
+    # dec_sum refactor (identical expression chain, re-verified green
+    # both scales) — re-emits out of caution
+    "agg_corr_manual",
 })
 
 _ROWS_ONLY_BY_DESIGN = frozenset()

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..operators.graph import label_propagation
 from .analytics3 import EDGES_CTE, cooccur_edges
-from .base import register, t
+from .base import dec_sum, register, t
 
 _LPA_ROUNDS = 3
 
@@ -360,16 +360,15 @@ def agg_linear_regression_per_type(
         "bigint"
     )
     y = F.col("value")
-    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
     s = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy(
         "event_type"
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("double").alias("sx"),
-        d(F.col("y")).alias("sy"),
+        dec_sum(F.col("y"), "sy"),
         F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        d(F.col("y") * F.col("y")).alias("syy"),
-        d(F.col("x") * F.col("y")).alias("sxy"),
+        dec_sum(F.col("y") * F.col("y"), "syy"),
+        dec_sum(F.col("x") * F.col("y"), "sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")

@@ -183,14 +183,13 @@ def agg_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytical meaning."""
     li = t(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        d(x).alias("sx"),
-        d(y).alias("sy"),
-        d(x * x).alias("sxx"),
-        d(y * y).alias("syy"),
-        d(x * y).alias("sxy"),
+        dec_sum(x, "sx"),
+        dec_sum(y, "sy"),
+        dec_sum(x * x, "sxx"),
+        dec_sum(y * y, "syy"),
+        dec_sum(x * y, "sxy"),
     )
     n = F.col("n")
     cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
