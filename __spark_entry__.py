@@ -150,14 +150,61 @@ _CHANGED_R06 = frozenset({
 
 _ROWS_ONLY_BY_DESIGN = frozenset()
 
+# Queries with a driver-green CORRECTNESS_r06 row (50/50 hash_match;
+# includes every _CHANGED_R06 member plus the stalest r01-era
+# re-confirmations).
+_GREEN_R06 = frozenset({
+    "adaptive_batch_plan", "agg_corr_manual", "agg_gini_revenue",
+    "agg_histogram_merge_sources", "agg_hll_distinct_sketch",
+    "agg_linear_regression_per_type", "agg_minmax_time",
+    "agg_mode_per_group", "agg_skewness_kurtosis_manual",
+    "ann_recall_curve", "dedup_cluster_size_histogram",
+    "dedup_threshold_curve", "embedding_centroid_distances",
+    "embedding_distance_histogram", "embedding_knn_label_accuracy",
+    "embedding_silhouette_centroid", "embedding_standardize_dims",
+    "events_runs_encoding", "graph_bfs_hops", "graph_edge_jaccard",
+    "graph_kcore_peel", "graph_triangle_count", "multimodal_shard_pack",
+    "orders_abc_classification", "orders_cohort_ltv",
+    "orders_rfm_segmentation", "pipeline_interleave_sources",
+    "pipeline_systematic_sample", "profile_chi2_independence",
+    "rollup_tables_count", "split_key_buckets", "split_time_buckets",
+    "text_entropy_bits", "text_ngram_novelty_rate", "text_sentence_stats",
+    "text_source_vocab_overlap", "text_ttr_by_length_decile",
+    "text_zipf_fit", "timeseries_anomaly_mad",
+    "timeseries_changepoint_cusum", "timeseries_cross_correlation",
+    "timeseries_ewma_daily", "timeseries_seasonal_decompose",
+    "timeseries_seasonal_strength", "tpch_q1", "tpch_q3_topk",
+    "tpch_q5_region_revenue", "verify_archive_counts",
+    "verify_block_fingerprints", "window_cume_dist_orders",
+})
+
+# Queries whose plan changed in round 7 (forced corpus-proportional
+# broadcasts removed per the r06 verdict; BM25 additionally gained the
+# candidate semi-join reduction of its per-doc length table). Results
+# are identical — the change is join-strategy hints — but convention
+# says a changed plan re-earns its driver row, so they lead emission.
+_CHANGED_R07 = frozenset({
+    "tpch_q2_min_cost_supplier", "tpch_q3_topk",
+    "tpch_q5_region_revenue", "tpch_q7_nation_trade",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_topk", "tpch_q11_important_parts",
+    "tpch_q14_promo_ratio", "tpch_q15_top_supplier",
+    "tpch_q16_part_suppliers", "tpch_q17_small_quantity",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive",
+    "tpch_q20_excess_suppliers", "tpch_q21_sole_return_supplier",
+    "pivot_status_by_segment", "text_bm25_search",
+})
+
 _CHECKED_GOOD = (
-    (_GREEN_R01 | _GREEN_R03 | _GREEN_R04 | _GREEN_R05)
-    - _CHANGED_R06
+    (_GREEN_R01 | _GREEN_R03 | _GREEN_R04 | _GREEN_R05 | _GREEN_R06)
+    - _CHANGED_R07
 ) | _ROWS_ONLY_BY_DESIGN
 
 
 def _staleness_round(name: str) -> int:
     """Most recent round with a green driver row for *name* (0 = never)."""
+    if name in _GREEN_R06:
+        return 6
     if name in _GREEN_R05:
         return 5
     if name in _GREEN_R04:

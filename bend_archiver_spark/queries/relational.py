@@ -86,9 +86,11 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority top-k: dimension filter -> fact join -> agg ->
-    global top-k. `customer` is broadcast (small dim); revenue is
-    decimal-exact so the ORDER BY tie-break (orderkey) is
-    deterministic across engines."""
+    global top-k. `customer` carries no broadcast hint — it is
+    corpus-proportional, so stats/AQE elect broadcast at small scale
+    and fall back to a shuffle join at 100x (a forced hint would blow
+    the broadcast limit there); revenue is decimal-exact so the
+    ORDER BY tie-break (orderkey) is deterministic across engines."""
     cust = t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -102,7 +104,7 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(
             orders, li.l_orderkey == orders.o_orderkey
         )
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             dec_sum(
@@ -135,9 +137,10 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join"),
 )
 def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local-supplier revenue: five-way join with three broadcast dims
-    (region/nation/supplier) and one shuffle join on the two facts —
-    the join-ordering showcase."""
+    """Local-supplier revenue: five-way join — constant-cardinality
+    dims (region/nation) keep explicit broadcast hints; the
+    scale-linear sides (customer, supplier) carry none, so stats/AQE
+    elect broadcast at small scale and shuffle at 100x."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -149,9 +152,9 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -518,11 +521,13 @@ def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order-status counts per market segment (explicit value
     list keeps the output schema static — required at scale, where an
-    inferred pivot would need an extra pass)."""
+    inferred pivot would need an extra pass). `customer` is
+    corpus-proportional, so no broadcast hint: stats elect it small,
+    shuffle join takes over at 100x."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .count()

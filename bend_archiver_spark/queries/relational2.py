@@ -70,8 +70,10 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join", "topk"),
 )
 def tpch_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q10: returned-item revenue ranking — fact-fact join plus two
-    broadcast dims, deterministic top-20."""
+    """Q10: returned-item revenue ranking — fact-fact join, nation
+    broadcast (constant 25 rows), customer unhinted (scale-linear:
+    stats elect broadcast small, shuffle at 100x), deterministic
+    top-20."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -81,7 +83,7 @@ def tpch_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -155,7 +157,7 @@ def tpch_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.sum(promo_rev.cast("decimal(38,6)")).cast("double")
@@ -186,7 +188,7 @@ def tpch_q16_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -212,7 +214,9 @@ def tpch_q16_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18: HAVING-filtered subquery feeding an IN (semi join) over a
-    three-way join — the classic large-order report."""
+    three-way join — the classic large-order report. Customer joins
+    without a hint: corpus-proportional, so forced broadcast would
+    fail at 100x; stats/AQE pick the strategy per scale."""
     li = t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -224,7 +228,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice"
@@ -251,7 +255,7 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown through a join."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     c1 = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 10)

@@ -35,7 +35,10 @@ from .base import dec_sum, o_dec_sum, register, t
 def tpch_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7: bilateral trade volume between distinct supplier/customer
     nations per ship year — a five-way join with the nation dimension
-    joined twice under different roles."""
+    joined twice under different roles. Only the constant-cardinality
+    nation roles are hint-broadcast; customer/supplier are
+    corpus-proportional and join unhinted (stats elect small-scale
+    broadcast, shuffle at 100x)."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
@@ -51,8 +54,8 @@ def tpch_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(F.col("s_nkey") != F.col("c_nkey"))
@@ -100,7 +103,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 adaptation: each supplier nation's share of revenue into
     EUROPE-region customers per order year — aggregate then a window
     ratio over the year partition. The decimal-exact revenue makes the
-    share division deterministic."""
+    share division deterministic. Customer/supplier join unhinted
+    (corpus-proportional); nation/region keep explicit broadcasts."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -114,10 +118,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     sales = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
         .groupBy(
             F.year("o_orderdate").cast("bigint").alias("order_year"),
@@ -178,7 +182,7 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_quantity").over(w).alias("avg_qty"),
     )
     return (
-        flagged.join(F.broadcast(part), flagged.l_partkey == part.p_partkey)
+        flagged.join(part, flagged.l_partkey == part.p_partkey)
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.count(F.lit(1)).alias("n_small_lines"),

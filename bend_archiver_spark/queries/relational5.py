@@ -41,8 +41,10 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 adaptation (no partsupp/ps_supplycost in the schema): profit
     proxy = discounted revenue minus tax amount, for parts matching a
     name pattern, rolled up by supplier nation and order year. The
-    five-way join keeps lineitem-orders as the only big-big shuffle;
-    part/supplier/nation broadcast."""
+    five-way join keeps lineitem-orders as the biggest shuffle;
+    nation (constant 25 rows) is hint-broadcast while part/supplier —
+    scale-linear — join unhinted (stats elect broadcast small,
+    shuffle at 100x)."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     supp = t(spark, sf_dir, "supplier")
@@ -52,8 +54,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice"
     ) * F.col("l_tax")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -140,7 +142,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier")
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_rev") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -205,7 +207,7 @@ def tpch_q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
             & (l1.l_suppkey != F.col("sk3")),
             "left_anti",
         )
-        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .join(supp, l1.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -62,8 +62,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitems. The correlated-min subquery becomes a partition-window
     MIN over the part key — co-partitioned with the grouped cost
     relation, so the correlation adds one shuffle on l_partkey and no
-    self-join. Supplier/nation/region dims broadcast; the final order
-    is a global top-100 (TakeOrderedAndProject)."""
+    self-join. Nation/region (constant) are hint-broadcast; the
+    in-region supplier projection and filtered parts are scale-linear
+    and join unhinted; the final order is a global top-100
+    (TakeOrderedAndProject)."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY")
@@ -93,13 +95,13 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # region scoping BEFORE the min: the correlated aggregate ranges
     # over in-region suppliers only (as in the original q2)
     scoped = cost.join(
-        F.broadcast(esupp), F.col("suppkey") == F.col("s_suppkey")
+        esupp, F.col("suppkey") == F.col("s_suppkey")
     ).withColumn(
         "min_cost", F.min("unit_cost").over(Window.partitionBy("partkey"))
     )
     return (
         scoped.filter(F.col("unit_cost") == F.col("min_cost"))
-        .join(F.broadcast(part), F.col("partkey") == part.p_partkey)
+        .join(part, F.col("partkey") == part.p_partkey)
         .select(
             "s_acctbal",
             "s_name",
@@ -159,7 +161,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_3"
     )
     nat_value = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
@@ -219,9 +221,11 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped more than half of some widget part's total quantity during
     1999 — the nested IN-subquery shape (name-patterned parts feed the
     per-(supplier, part) rollup; the qualifying supplier keys feed a
-    semi-join into the supplier dim). Both INs become broadcast
-    semi-joins; the quantity comparison is a conditional aggregate
-    against its own group total, in exact decimal."""
+    semi-join into the supplier dim). Both INs become semi-joins with
+    no forced broadcast (the part/supplier subsets are scale-linear;
+    stats/AQE elect broadcast while they fit); the quantity comparison
+    is a conditional aggregate against its own group total, in exact
+    decimal."""
     li = t(spark, sf_dir, "lineitem")
     widget_parts = (
         t(spark, sf_dir, "part")
@@ -234,7 +238,7 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) & (F.col("l_shipdate") < F.lit("2000-01-01").cast("date"))
     shipped = (
         li.join(
-            F.broadcast(widget_parts),
+            widget_parts,
             li.l_partkey == F.col("p_partkey"),
             "left_semi",
         )
@@ -261,7 +265,7 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
         )
         .join(
-            F.broadcast(excess),
+            excess,
             supp.s_suppkey == F.col("suppkey"),
             "left_semi",
         )

@@ -144,9 +144,15 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("token").agg(
         F.count_distinct("doc_id").cast("bigint").alias("df")
     )
+    # Reduce per-doc lengths to the candidate set BEFORE any broadcast
+    # decision: `dl` is corpus-proportional (one row per document), so
+    # force-broadcasting it would exceed the broadcast limit at 100x.
+    # The semi join bounds it by posting sizes; no hint — stats/AQE
+    # elect broadcast when the candidate set is genuinely small.
+    cand_dl = dl.join(tf.select("doc_id"), "doc_id", "left_semi")
     scored = (
         tf.join(F.broadcast(dfreq), "token")
-        .join(F.broadcast(dl), "doc_id")
+        .join(cand_dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .withColumn(
             "term_score",

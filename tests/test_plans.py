@@ -928,3 +928,57 @@ class TestLinkPredictionAndABCPlans:
         assert "partial_sum" in plan
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestUnforcedBroadcasts:
+    """Round 7: the eight queries that used to force-broadcast a
+    corpus-proportional side (customer/supplier in seven TPC-H shapes,
+    per-doc lengths in BM25) now carry NO hint there. At test scale
+    stats must still elect broadcast (no perf cliff); at 100x the
+    same plan degrades gracefully to a shuffle join instead of dying
+    on the broadcast size limit. Source-level guard plus plan pins."""
+
+    ELECTED = [
+        "tpch_q3_topk",
+        "tpch_q5_region_revenue",
+        "tpch_q7_nation_trade",
+        "tpch_q8_market_share",
+        "tpch_q10_returned_topk",
+        "tpch_q18_large_orders",
+        "pivot_status_by_segment",
+    ]
+
+    def test_broadcast_still_elected_from_stats(self, spark, sf_dir):
+        """Without the hint, parquet size stats must keep electing
+        BroadcastHashJoin for the customer side at test scale."""
+        missing = []
+        for name in self.ELECTED:
+            if "BroadcastHashJoin" not in plan_of(spark, sf_dir, name):
+                missing.append(name)
+        assert missing == []
+
+    def test_no_forced_corpus_proportional_broadcast(self):
+        """No query module may wrap a scale-linear table (customer,
+        supplier, orders, lineitem, per-doc stats) in F.broadcast.
+        Bounded tables (nation/region, codebooks, one-row stats,
+        vocabulary/k-bounded intermediates) remain fair game."""
+        import pathlib
+        import re
+
+        qdir = pathlib.Path("bend_archiver_spark/queries")
+        banned = re.compile(
+            r"F\.broadcast\(\s*(cust|supp|orders|li|lineitem|dl|part"
+            r"|esupp|widget_parts|excess)\s*[,)]"
+        )
+        offenders = []
+        for path in sorted(qdir.glob("*.py")):
+            for i, line in enumerate(path.read_text().splitlines(), 1):
+                if banned.search(line):
+                    offenders.append(f"{path.name}:{i}: {line.strip()}")
+        assert offenders == []
+
+    def test_bm25_candidate_reduced_lengths(self, spark, sf_dir):
+        """BM25's per-doc length table must be semi-join-reduced to
+        candidates (LeftSemi in plan) and never force-broadcast."""
+        plan = plan_of(spark, sf_dir, "text_bm25_search")
+        assert "LeftSemi" in plan
