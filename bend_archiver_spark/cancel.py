@@ -1,0 +1,87 @@
+"""Cooperative job cancellation — parity with the reference's signal
+context (cmd/main.go:29-35: SIGQUIT/SIGTERM cancel the job context so
+a terminated run stops between phases instead of plowing on).
+
+The Spark translation: a process-wide cancellation token checked at
+phase boundaries, plus CLI signal handlers that trip it. The one
+ordering guarantee that matters is DESTRUCTIVE-LAST — an interrupt
+that lands after the write but before verification must never reach
+``postsync.delete_after_sync`` (the only phase that mutates the
+source). Batch re-runs are idempotency-gated, so an interrupted
+archive is always safe to re-run.
+"""
+
+from __future__ import annotations
+
+import signal
+import threading
+
+__all__ = [
+    "JobCancelled",
+    "cancel_requested",
+    "install_signal_handlers",
+    "raise_if_cancelled",
+    "request_cancel",
+    "reset",
+]
+
+_EVENT = threading.Event()
+_SIGNUM: int | None = None
+
+
+class JobCancelled(RuntimeError):
+    """Raised at a phase boundary after a cancellation request."""
+
+
+def request_cancel(signum: int | None = None) -> None:
+    """Trip the token. Safe from signal handlers and any thread."""
+    global _SIGNUM
+    if signum is not None:
+        _SIGNUM = signum
+    _EVENT.set()
+
+
+def cancel_requested() -> bool:
+    return _EVENT.is_set()
+
+
+def last_signal() -> int | None:
+    return _SIGNUM
+
+
+def reset() -> None:
+    """Clear the token (tests / fresh CLI invocations)."""
+    global _SIGNUM
+    _SIGNUM = None
+    _EVENT.clear()
+
+
+def raise_if_cancelled(phase: str) -> None:
+    """Phase-boundary check: raise before entering *phase* if a
+    cancellation arrived. Used as the backstop for signals that land
+    inside a blocking JVM call, where the handler's exception cannot
+    preempt the Java side — the flag is still set, so the job stops at
+    the next boundary instead of proceeding to destructive phases."""
+    if _EVENT.is_set():
+        raise JobCancelled(f"cancelled before {phase}")
+
+
+def install_signal_handlers(signals: tuple[int, ...] = ()) -> dict:
+    """Install SIGTERM/SIGINT handlers that trip the token and raise
+    ``JobCancelled`` in the main thread. Returns the previous handlers
+    so callers can restore them (``restore_signal_handlers``)."""
+    sigs = signals or (signal.SIGTERM, signal.SIGINT)
+    previous: dict = {}
+
+    def _handler(signum, frame):  # noqa: ARG001
+        request_cancel(signum)
+        raise JobCancelled(f"received signal {signum}")
+
+    for s in sigs:
+        previous[s] = signal.signal(s, _handler)
+    return previous
+
+
+def restore_signal_handlers(previous: dict) -> None:
+    for s, h in previous.items():
+        signal.signal(s, h)

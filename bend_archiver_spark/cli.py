@@ -25,6 +25,13 @@ import time
 
 from pyspark.errors import AnalysisException
 
+from .cancel import (
+    JobCancelled,
+    install_signal_handlers,
+    last_signal,
+    reset as reset_cancel,
+    restore_signal_handlers,
+)
 from .config import Config, ConfigError, load_config
 from .job import FileArchiveJob
 from .metrics import ThroughputRecorder
@@ -115,6 +122,14 @@ def main(argv: list[str] | None = None) -> int:
     start = time.time()
     print(f"start time: {time.strftime('%Y-%m-%d %H:%M:%S', time.localtime(start))}")
 
+    # SIGTERM/SIGINT cancel the job at the next phase boundary —
+    # parity with the reference's signal context (cmd/main.go:29-35).
+    # The job's destructive-last gate guarantees an interrupt between
+    # write and verify never reaches delete-after-sync; the finally
+    # below still stops the Spark session on the way out.
+    reset_cancel()
+    prev_handlers = install_signal_handlers()
+
     spark = get_spark("bend_archiver_spark")
     rec = ThroughputRecorder()
     rc = 0
@@ -176,7 +191,12 @@ def main(argv: list[str] | None = None) -> int:
                 print("verification FAILED: source/target counts differ", file=sys.stderr)
                 rc = 1
             print(rec.as_log_line("job"))
+    except JobCancelled as e:
+        print(f"cancelled: {e}", file=sys.stderr)
+        sig = last_signal()
+        rc = 128 + sig if sig else 1
     finally:
+        restore_signal_handlers(prev_handlers)
         spark.stop()
     end = time.time()
     print(f"end time: {time.strftime('%Y-%m-%d %H:%M:%S', time.localtime(end))}")

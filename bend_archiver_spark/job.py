@@ -23,6 +23,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cancel import raise_if_cancelled
 from .config import Config
 from .planner import adjust_batch_size, coerce_key, split_time_windows
 from .sink import write_batch
@@ -199,6 +200,7 @@ class FileArchiveJob:
         # clustered) and gives every parquet row group a tight min/max
         # on the key, so later key-range scans prune at row-group
         # granularity, not just file granularity.
+        raise_if_cancelled("write")
         extracted = filtered.repartitionByRange(
             n_parts, F.col(part_col)
         ).sortWithinPartitions(part_col)
@@ -296,6 +298,7 @@ class JdbcArchiveJob:
                 cfg.source_table, 0, 0, 0, cfg.batch_size,
                 time.monotonic() - t0, VerifyResult(0, 0),
             )
+        raise_if_cancelled("write")
         df = self.source.read(plan)
         write_batch(
             df,
@@ -331,6 +334,11 @@ class JdbcArchiveJob:
 
         deleted = 0
         if cfg.delete_after_sync and verify.is_correct:
+            # destructive-last: a cancellation that landed anywhere
+            # between write and here (e.g. inside a blocking JVM call
+            # the handler's exception could not preempt) must stop the
+            # job BEFORE the source-mutating phase (cmd/main.go:29-35)
+            raise_if_cancelled("delete-after-sync")
             from .postsync import delete_after_sync, jdbc_executor
 
             execute = jdbc_executor(

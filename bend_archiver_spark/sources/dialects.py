@@ -183,14 +183,16 @@ class Dialect:
             # "databases" are schemas (sys.sysschemas), so multi-
             # schema discovery must not leak other schemas' tables
             # into each expansion (empty database = unscoped, for
-            # single-schema callers)
+            # single-schema callers). Derby stores unquoted schema
+            # names uppercase, so normalize like the Oracle branch —
+            # a lowercase caller must not silently match zero schemas.
             sql = (
                 "SELECT t.tablename AS name FROM sys.systables t "
                 "JOIN sys.sysschemas s ON t.schemaid = s.schemaid "
                 "WHERE t.tabletype = 'T'"
             )
             if database:
-                sql += f" AND s.schemaname = '{database}'"
+                sql += f" AND s.schemaname = '{database.upper()}'"
             return sql
         raise ValueError(self.name)
 

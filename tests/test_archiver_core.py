@@ -26,6 +26,16 @@ class TestDialects:
         assert get_dialect("unknown").name == "mysql"
         assert get_dialect("tidb").driver == "com.mysql.cj.jdbc.Driver"
 
+    def test_derby_schema_scope_normalizes_case(self):
+        """Derby stores unquoted schema names uppercase; a lowercase
+        caller must still scope to the schema instead of silently
+        matching zero tables (same normalization as the Oracle
+        branch)."""
+        sql = get_dialect("derby").list_tables_sql("app")
+        assert "s.schemaname = 'APP'" in sql
+        # unscoped form stays available for single-schema callers
+        assert "schemaname" not in get_dialect("derby").list_tables_sql("")
+
     def test_urls(self):
         assert get_dialect("mysql").jdbc_url("h", 3306, "db").startswith(
             "jdbc:mysql://h:3306/db"

@@ -1,0 +1,52 @@
+"""Signal-cancellation parity tests (cmd/main.go:29-35).
+
+The reference cancels its job context on SIGQUIT/SIGTERM; here the CLI
+installs SIGTERM/SIGINT handlers that trip a process-wide token, and
+the job checks it at phase boundaries — with the destructive-last
+guarantee that an interrupt landing between write and verify never
+reaches ``postsync.delete_after_sync``.
+"""
+
+import os
+import signal
+
+import pytest
+
+from bend_archiver_spark import cancel
+
+
+@pytest.fixture(autouse=True)
+def _clean_token():
+    cancel.reset()
+    yield
+    cancel.reset()
+
+
+class TestCancelToken:
+    def test_request_and_check(self):
+        assert not cancel.cancel_requested()
+        cancel.request_cancel(signal.SIGTERM)
+        assert cancel.cancel_requested()
+        assert cancel.last_signal() == signal.SIGTERM
+        with pytest.raises(cancel.JobCancelled, match="delete-after-sync"):
+            cancel.raise_if_cancelled("delete-after-sync")
+
+    def test_boundary_check_is_noop_without_request(self):
+        cancel.raise_if_cancelled("write")  # must not raise
+
+    def test_sigterm_handler_raises_in_main_thread(self):
+        prev = cancel.install_signal_handlers()
+        try:
+            with pytest.raises(cancel.JobCancelled):
+                os.kill(os.getpid(), signal.SIGTERM)
+            assert cancel.cancel_requested()
+            assert cancel.last_signal() == signal.SIGTERM
+        finally:
+            cancel.restore_signal_handlers(prev)
+
+    def test_handlers_restored(self):
+        before = signal.getsignal(signal.SIGTERM)
+        prev = cancel.install_signal_handlers()
+        assert signal.getsignal(signal.SIGTERM) is not before
+        cancel.restore_signal_handlers(prev)
+        assert signal.getsignal(signal.SIGTERM) is before

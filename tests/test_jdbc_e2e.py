@@ -359,3 +359,44 @@ class TestV2CatalogPushdown:
         )
         assert "PushedFilters" in plan and "ID > 150" in plan
         assert df.count() == N_ROWS - 150
+
+
+class TestCancellationDestructiveLast:
+    def test_interrupt_between_write_and_verify_never_deletes(
+        self, spark, derby, tmp_path, monkeypatch
+    ):
+        """A cancellation that lands right after the write (simulating
+        a SIGTERM whose exception could not preempt a blocking JVM
+        call) must abort at the delete-after-sync boundary: target
+        written, source UNTOUCHED (cmd/main.go:29-35 parity; the
+        idempotency gate makes the re-run safe)."""
+        from bend_archiver_spark import cancel, job as job_mod
+
+        cancel.reset()
+        real_write = job_mod.write_batch
+
+        def write_then_cancel(*a, **kw):
+            real_write(*a, **kw)
+            cancel.request_cancel()
+
+        monkeypatch.setattr(job_mod, "write_batch", write_then_cancel)
+        tgt = str(tmp_path / "tgt_cancel")
+        cfg = _cfg(derby, tgt, delete_after_sync=True)
+        try:
+            with pytest.raises(cancel.JobCancelled, match="delete-after-sync"):
+                JdbcArchiveJob(spark, cfg).run()
+        finally:
+            cancel.reset()
+        # the write completed...
+        assert spark.read.parquet(tgt).count() == N_ROWS
+        # ...but the destructive phase never ran: source is intact
+        left = (
+            spark.read.format("jdbc")
+            .option("url", f"jdbc:derby:{derby};create=true")
+            .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+            .option("query", "SELECT COUNT(*) AS cnt FROM TESTTAB")
+            .load()
+            .first()["CNT"]
+        )
+        assert int(left) == N_ROWS
+        shutil.rmtree(tgt, ignore_errors=True)
