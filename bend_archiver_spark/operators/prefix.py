@@ -26,7 +26,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["prefix_sum", "ntile_distributed", "grouped_rank"]
+__all__ = ["prefix_sum", "prefix_max", "ntile_distributed", "grouped_rank"]
 
 
 def prefix_sum(
@@ -78,6 +78,52 @@ def prefix_sum(
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, F.col("_local_c") + F.col("_offset"))
         .drop("_pid", "_local_c", "_offset")
+    )
+
+
+def prefix_max(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "run_max",
+    exclusive: bool = False,
+) -> DataFrame:
+    """Add ``out_col`` = running maximum of ``value_col`` in the total
+    order defined by ``order_cols`` — the two-phase scan shape of
+    :func:`prefix_sum` with max as the (commutative, idempotent)
+    combiner. ``exclusive=True`` gives the ``ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING`` frame (NULL for the global first row),
+    the dominance test a skyline needs. ``order_cols`` must be a
+    unique key for determinism, same contract as prefix_sum."""
+    frame_hi = -1 if exclusive else 0
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, frame_hi)
+    )
+    local = ranged.withColumn("_local_m", F.max(value_col).over(w_in))
+    per_part = ranged.groupBy("_pid").agg(
+        F.max(value_col).alias("_part_max")
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_part.select(
+        "_pid", F.max("_part_max").over(w_off).alias("_prior_m")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        # greatest() skips NULLs (first partition has no prior max;
+        # each partition's first row has no local exclusive max) and
+        # returns NULL only when both are — exactly the exclusive
+        # frame's semantics for the global first row
+        .withColumn(out_col, F.greatest("_local_m", "_prior_m"))
+        .drop("_pid", "_local_m", "_prior_m")
     )
 
 

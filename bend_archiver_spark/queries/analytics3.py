@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.graph import triangle_counts
-from ..operators.prefix import prefix_sum
+from ..operators.prefix import prefix_max, prefix_sum
 from .base import register, t
 
 # same support floor as orders_basket_affinity: an edge is a part pair
@@ -168,21 +168,20 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     running maxima over the PRICE-DISTINCT table: p is dominated iff
     max-size-at-strictly-cheaper-price >= p.size (run_lt) OR
     max-size-at-the-same-price > p.size (pmax). The groupBy(price) is
-    map-combinable and the single unpartitioned window runs over the
-    distinct-price table — dimension-bounded here (part catalog); for
-    a fact-scale skyline the same two maxima come from the
-    ``operators/prefix.py`` range-exchange scan, the exact machinery
-    ``agg_exact_median_distributed`` already demonstrates. The
-    per-price maxima then broadcast back onto the part scan, so the
-    corpus-side cost is one combinable aggregate + one broadcast-join
-    pass. Ties on both axes survive (two identical frontier points
-    do not dominate each other) — same in the oracle."""
+    map-combinable, and since round 7 the exclusive running max over
+    the distinct-price table goes through ``prefix_max`` — the
+    two-phase range-exchange scan — instead of an unpartitioned
+    window, so the plan holds even when distinct-price cardinality
+    grows with the corpus. The per-price maxima then broadcast back
+    onto the part scan, so the corpus-side cost is one combinable
+    aggregate + one broadcast-join pass. Ties on both axes survive
+    (two identical frontier points do not dominate each other) —
+    same in the oracle."""
     p = t(spark, sf_dir, "part")
     g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("pmax")
     )
-    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
-    g2 = g.select("price", "pmax", F.max("pmax").over(w).alias("run_lt"))
+    g2 = prefix_max(g, ["price"], "pmax", out_col="run_lt", exclusive=True)
     keep = (
         F.col("run_lt").isNull() | (F.col("run_lt") < F.col("p_size"))
     ) & (F.col("pmax") <= F.col("p_size"))

@@ -607,3 +607,56 @@ class TestGraphOps:
         }
         # from node 6, two hops reach {6:0, 4:1, 5:1, 3:2}
         assert out == {(6, 0), (4, 1), (5, 1), (3, 2)}
+
+
+class TestPrefixMax:
+    def test_matches_window_running_max(self, spark):
+        """prefix_max == the SinglePartition window's running max,
+        inclusive and exclusive frames, across partition counts."""
+        from pyspark.sql import Window
+
+        from bend_archiver_spark.operators.prefix import prefix_max
+
+        rows = [(i, (7 * i * i + 3 * i) % 41) for i in range(1, 201)]
+        df = spark.createDataFrame(rows, "k int, v int").repartition(13)
+        w_inc = Window.orderBy("k").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        w_exc = Window.orderBy("k").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        expect = {
+            (r["k"]): (r["inc"], r["exc"])
+            for r in df.select(
+                "k",
+                F.max("v").over(w_inc).alias("inc"),
+                F.max("v").over(w_exc).alias("exc"),
+            ).collect()
+        }
+        got_inc = {
+            r["k"]: r["run_max"]
+            for r in prefix_max(df, ["k"], "v").collect()
+        }
+        got_exc = {
+            r["k"]: r["run_max"]
+            for r in prefix_max(df, ["k"], "v", exclusive=True).collect()
+        }
+        for k, (inc, exc) in expect.items():
+            assert got_inc[k] == inc, k
+            assert got_exc[k] == exc, k
+        # the global first row's exclusive frame is empty -> NULL
+        assert got_exc[1] is None
+
+    def test_single_row_partitions(self, spark):
+        """Exclusive max must come entirely from prior partitions when
+        every partition holds one row."""
+        from bend_archiver_spark.operators.prefix import prefix_max
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 9), (3, 2), (4, 11)], "k int, v int"
+        ).repartitionByRange(4, "k")
+        got = {
+            r["k"]: r["run_max"]
+            for r in prefix_max(df, ["k"], "v", exclusive=True).collect()
+        }
+        assert got == {1: None, 2: 5, 3: 9, 4: 9}

@@ -982,3 +982,76 @@ class TestUnforcedBroadcasts:
         candidates (LeftSemi in plan) and never force-broadcast."""
         plan = plan_of(spark, sf_dir, "text_bm25_search")
         assert "LeftSemi" in plan
+
+
+class TestBoundedWindowAudit:
+    """Every ``Window.orderBy(...)`` WITHOUT a partitionBy in the
+    package moves its whole input through a SinglePartition exchange —
+    acceptable ONLY when the input is provably sub-linear in the
+    corpus. This audit enumerates the allowed sites; a new
+    unpartitioned window anywhere else fails here and must either move
+    to operators/prefix.py's two-phase scan or earn an allowlist entry
+    with a boundedness justification."""
+
+    # file -> (expected occurrence count, why each input is bounded)
+    ALLOWED = {
+        "operators/prefix.py": (
+            3,
+            "one row per physical partition / per group key — "
+            "driver-size by construction (the offsets tables)",
+        ),
+        "queries/analytics3.py": (
+            1,
+            "histogram cumulative over fixed-width bins (bin-bounded)",
+        ),
+        "queries/relational7.py": (
+            1,
+            "7-day moving average over the daily rollup (date-bounded)",
+        ),
+        "queries/verify2.py": (
+            1,
+            "KS cumulative over the DISTINCT-length table "
+            "(value-domain-bounded)",
+        ),
+        "queries/retrieval.py": (
+            1,
+            "BM25 rank applied AFTER .limit(25) (k-bounded)",
+        ),
+        "queries/text2.py": (
+            1,
+            "vocabulary rank applied AFTER .limit(20) (k-bounded)",
+        ),
+        "queries/pipeline3.py": (
+            1,
+            "per-source index over the |sources|-row counts table",
+        ),
+    }
+
+    def test_no_new_unpartitioned_windows(self):
+        import pathlib
+        import re
+
+        pkg = pathlib.Path("bend_archiver_spark")
+        pat = re.compile(r"Window\.orderBy\(")
+        found: dict[str, int] = {}
+        for path in sorted(pkg.rglob("*.py")):
+            n = 0
+            for line in path.read_text().splitlines():
+                stripped = line.strip()
+                if stripped.startswith("#") or stripped.startswith("distribute:"):
+                    continue  # prose, not code
+                n += len(pat.findall(line))
+            if n:
+                found[str(path.relative_to(pkg))] = n
+        expected = {k: v[0] for k, v in self.ALLOWED.items()}
+        assert found == expected, (
+            f"unpartitioned-window sites changed: {found} != {expected}; "
+            "new sites need a prefix.py rewrite or an allowlist entry"
+        )
+
+    def test_pareto_uses_prefix_max(self, spark, sf_dir):
+        """The skyline's exclusive running max must ride the two-phase
+        range-exchange scan (plan shows the _pid partition window),
+        not a SinglePartition window over the distinct-price table."""
+        plan = plan_of(spark, sf_dir, "pareto_frontier_parts")
+        assert "_pid" in plan
