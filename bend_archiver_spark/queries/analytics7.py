@@ -46,13 +46,25 @@ _DAILY_SQL = """
 """
 
 
+# One persisted rollup per (session, sf_dir): four registered queries
+# (EWMA, MAD, xcorr, CUSUM) consume this frame, and each used to
+# persist() a fresh copy — a long driver session sweeping the registry
+# accumulated four cached duplicates of the same (types x days) table.
+# Memoizing bounds the cache at one entry per data directory.
+_DAILY_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the MAD query references this rollup from ~6 join
     # arms (med/dev/mad branches) and EWMA/xcorr from 2 each —
     # exchange reuse is an optimizer courtesy, not a guarantee (repo
     # rule 4), so the (types x days) frame is cached explicitly
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DAILY_CACHE.get(key)
+    if cached is not None:
+        return cached
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy(
+    df = ev.groupBy(
         "event_type",
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
     ).agg(
@@ -60,6 +72,8 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total")
     ).persist()
+    _DAILY_CACHE[key] = df
+    return df
 
 
 # --- EWMA with dyadic weights -----------------------------------------

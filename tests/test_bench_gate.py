@@ -39,3 +39,25 @@ def test_every_anchor_is_still_a_headline_query():
     headline = {n for n, s in REGISTRY.items() if s.headline}
     anchored = set(bench._R01_ANCHOR) - {"archive_sync"}  # pipeline, not a query
     assert anchored <= headline, anchored - headline
+
+
+def test_sample_stats_median_and_spread():
+    s = bench._sample_stats([3.0, 1.0, 2.0])
+    assert s == {"best": 1.0, "median": 2.0, "spread": 2.0}
+    s1 = bench._sample_stats([0.5])
+    assert s1 == {"best": 0.5, "median": 0.5, "spread": 0.0}
+
+
+def test_gate_uses_median_not_best():
+    """A lucky best under 2x must not mask a median regression — and a
+    noisy single worst iteration must not trip the gate either."""
+    timings = dict(bench._R01_ANCHOR)
+    anchor = bench._R01_ANCHOR["tpch_q1"]
+    # best fine, median 3x: flagged
+    stats = {"tpch_q1": bench._sample_stats([anchor, anchor * 3, anchor * 3])}
+    out = bench.find_regressions(timings, 0.1, stats)
+    assert set(out) == {"tpch_q1"}
+    assert out["tpch_q1"]["ratio"] == 3.0
+    # one bad iteration, median fine: green
+    stats = {"tpch_q1": bench._sample_stats([anchor, anchor, anchor * 5])}
+    assert bench.find_regressions(timings, 0.1, stats) == {}

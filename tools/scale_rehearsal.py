@@ -85,30 +85,45 @@ def build_corpus(n_replicas: int, out_dir: str) -> None:
         f"SELECT doc_id, text, lang, source, n_chars "
         f"FROM '{SF01}/documents.parquet' ORDER BY doc_id"
     ).fetchall()
-    rows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
-    for r in range(n_replicas):
-        for doc_id, text, lang, source, n_chars in docs:
-            rows["doc_id"].append(doc_id + r * 1_000_000)
-            rows["text"].append(
-                text
-                if r == 0
-                else " ".join(_caesar(w, r) for w in text.split(" "))
-            )
-            rows["lang"].append(lang)
-            rows["source"].append(source)
-            rows["n_chars"].append(n_chars)
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array(rows["doc_id"], pa.int64()),
-                "text": pa.array(rows["text"]),
-                "lang": pa.array(rows["lang"]),
-                "source": pa.array(rows["source"]),
-                "n_chars": pa.array(rows["n_chars"], pa.int64()),
-            }
-        ),
-        f"{out_dir}/documents.parquet",
+    # stream one replica per row group instead of materializing every
+    # replica in driver lists — memory stays bounded at one replica
+    # regardless of the scale factor
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
     )
+    with pq.ParquetWriter(f"{out_dir}/documents.parquet", schema) as w:
+        for r in range(n_replicas):
+            w.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            [d[0] + r * 1_000_000 for d in docs], pa.int64()
+                        ),
+                        "text": pa.array(
+                            [
+                                d[1]
+                                if r == 0
+                                else " ".join(
+                                    _caesar(wd, r) for wd in d[1].split(" ")
+                                )
+                                for d in docs
+                            ]
+                        ),
+                        "lang": pa.array([d[2] for d in docs]),
+                        "source": pa.array([d[3] for d in docs]),
+                        "n_chars": pa.array(
+                            [d[4] for d in docs], pa.int64()
+                        ),
+                    },
+                    schema=schema,
+                )
+            )
 
     con.execute(
         f"""
