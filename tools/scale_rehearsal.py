@@ -52,6 +52,7 @@ QUERIES = [
     "pipeline_cdc_chunks",
     "dedup_cross_corpus_minhash",
     "agg_kmv_distinct_sketch",
+    "archive_sync",
 ]
 
 # must match queries/text.py _STOPWORDS — the funnel's stopword rule
@@ -175,12 +176,47 @@ print("RESULT", best)
 spark.stop()
 """
 
+# archive_sync is the bench's end-to-end job (extract -> range-
+# partitioned write -> verify), not a registry query; same shape as
+# bench.py with the partition count scaling naturally through the
+# fixed 40k batch size over the replica-offset key range.
+_ARCHIVE_TIMER = """
+import shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from bend_archiver_spark.config import Config
+from bend_archiver_spark.job import FileArchiveJob
+from bend_archiver_spark.session import get_spark
+from bend_archiver_spark.tables import load_table
+spark = get_spark("rehearsal")
+target = tempfile.mkdtemp(prefix="rehearsal_archive_")
+shutil.rmtree(target, ignore_errors=True)
+cfg = Config(
+    source_table="lineitem",
+    source_split_key="l_orderkey",
+    source_where_condition="l_quantity > 0",
+    batch_size=40000,
+    max_thread=5,
+    target_path=target,
+    target_format="parquet",
+)
+li = load_table(spark, {sf_dir!r}, "lineitem")
+t0 = time.monotonic()
+report = FileArchiveJob(spark, cfg, li).run(check_idempotency=False)
+sec = time.monotonic() - t0
+assert report.verify.is_correct, report.verify
+print("PARTS", report.num_partitions)
+print("RESULT", sec)
+shutil.rmtree(target, ignore_errors=True)
+spark.stop()
+"""
+
 
 def time_query(name: str, sf_dir: str) -> float:
     """Best-of-2 wall time in a fresh subprocess session (isolation:
     no shared JIT/cache state between scale points)."""
+    template = _ARCHIVE_TIMER if name == "archive_sync" else _TIMER
     proc = subprocess.run(
-        [sys.executable, "-c", _TIMER.format(repo=REPO, name=name, sf_dir=sf_dir)],
+        [sys.executable, "-c", template.format(repo=REPO, name=name, sf_dir=sf_dir)],
         capture_output=True,
         text=True,
         timeout=1800,
