@@ -45,5 +45,6 @@ from . import graph2  # noqa: F401,E402
 from . import pipeline3  # noqa: F401,E402
 from . import analytics8  # noqa: F401,E402
 from . import analytics9  # noqa: F401,E402
+from . import curation2  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec"]

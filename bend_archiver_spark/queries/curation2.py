@@ -1,0 +1,155 @@
+"""Composed curation rehearsal: quality rules + MinHash-LSH near-dup
+dedup chained end-to-end, reported as a per-source funnel.
+
+This is the round-7 composition the round-6 verdict suggested — the
+two heaviest curation stages (`text_gopher_quality_rules` and
+`dedup_minhash_lsh`) in ONE lazy Catalyst DAG: the near-dup signature
+work runs only over quality survivors (filter pushdown through the
+whole signature pipeline), and the output is the per-source survivor
+funnel a production run records. Where `pipeline_curate_v2` chains
+model-based scores with EXACT keep-one dedup, this pipeline exercises
+the banded-LSH NEAR-dup path inside a composition — the shape a real
+100 TB pre-training curation run has (reference: the engine archives
+rows; a training-data engine must also curate them — SURVEY.md
+"beyond-reference" scope).
+
+Drop rule: a verified near-dup pair (a, b) with a < b drops b — the
+greedy keep-lowest-id rule. Deterministic on both engines because the
+verified pair set is bit-identical (pure int64 minhash arithmetic,
+exact-Jaccard verification on the same 60-bit shingle hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as ops
+from .base import hash64_sql, register, t
+from .dedup import (
+    _band_union_sql,
+    _JACCARD_THRESHOLD,
+    _minhash_sig_sql,
+    _N_BANDS,
+    _P,
+    _PERMS,
+)
+from .quality2 import _GOPHER_ORACLE, text_gopher_quality_rules
+
+_CURATE_DEDUP_ORACLE = rf"""
+WITH gm AS ({_GOPHER_ORACLE}),
+base AS (
+  SELECT d.doc_id, d.source, d.text, gm.n_words, gm.keep
+  FROM documents d JOIN gm USING (doc_id)),
+dq AS (SELECT doc_id, text FROM base WHERE keep),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, greatest(len(arr) - 2, 0)),
+                i -> array_to_string(list_slice(arr, i + 1, i + 3), ' ')))
+           AS tok
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS arr
+        FROM dq)),
+h AS (SELECT doc_id, ({hash64_sql('tok')} % {_P}) AS hv FROM toks),
+{_minhash_sig_sql()},
+bands AS ({_band_union_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN h ta ON ta.doc_id = c.doc_a
+  JOIN h tb ON tb.doc_id = c.doc_b AND tb.hv = ta.hv
+  GROUP BY 1, 2),
+drops AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+          >= {_JACCARD_THRESHOLD})
+SELECT b.source,
+       COUNT(*) AS n_input,
+       CAST(SUM(CASE WHEN b.keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(SUM(CASE WHEN b.keep AND dr.doc_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dropped,
+       CAST(SUM(CASE WHEN b.keep AND dr.doc_id IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       CAST(COALESCE(SUM(CASE WHEN b.keep AND dr.doc_id IS NULL
+                              THEN b.n_words END), 0) AS BIGINT)
+         AS final_words
+FROM base b LEFT JOIN drops dr USING (doc_id)
+GROUP BY 1
+"""
+
+
+@register(
+    "pipeline_curate_near_dedup",
+    oracle=_CURATE_DEDUP_ORACLE,
+    tags=("pipeline", "curation", "dedup", "composition"),
+)
+def pipeline_curate_near_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-filter -> MinHash-LSH near-dup drop -> per-source
+    funnel, composed lazily into one DAG.
+
+    Scale shape: the Gopher stage is one map-only projection; the
+    signature pipeline (shingle hash minima, banding, candidate join,
+    exact verification) runs ONLY over quality survivors because the
+    filter sits upstream of the persisted shingle barrier; the drop
+    set is pair-bounded (band collisions that verified), far below
+    corpus size, so the anti-join side stays small; the funnel itself
+    is ONE map-combinable groupBy over (source). No stage
+    materializes between stages except the documented signature
+    barrier."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    g = text_gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", "n_words", "keep"
+    )
+    base = d.join(g, "doc_id")
+    dq = base.filter("keep").select("doc_id", "text")
+    pairs = ops.minhash_lsh_dedup(
+        dq,
+        "doc_id",
+        "text",
+        threshold=_JACCARD_THRESHOLD,
+        perms=_PERMS,
+        n_bands=_N_BANDS,
+        persist_shingles=True,
+    )
+    drops = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    flagged = base.join(drops, "doc_id", "left")
+    is_final = F.col("keep") & F.col("dropped").isNull()
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_input"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_quality"),
+            F.sum(
+                F.when(F.col("keep") & F.col("dropped").isNotNull(), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_near_dropped"),
+            F.sum(F.when(is_final, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_final"),
+            F.coalesce(
+                F.sum(F.when(is_final, F.col("n_words"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("final_words"),
+        )
+    )

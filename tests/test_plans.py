@@ -1062,3 +1062,15 @@ class TestBoundedWindowAudit:
         not a SinglePartition window over the distinct-price table."""
         plan = plan_of(spark, sf_dir, "pareto_frontier_parts")
         assert "_pid" in plan
+
+
+class TestCurateNearDedupPlan:
+    def test_composition_shape(self, spark, sf_dir):
+        """Quality filter + banded near-dup dedup compose into one DAG:
+        the signature barrier (persisted shingles) is present, the
+        funnel aggregate combines map-side, and nothing degenerates to
+        an all-pairs product."""
+        plan = plan_of(spark, sf_dir, "pipeline_curate_near_dedup")
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan  # signature barrier holds
+        assert "partial" in plan  # funnel combines map-side
