@@ -169,6 +169,11 @@ def main(argv: list[str] | None = None) -> int:
                 report = job.run(
                     check_idempotency=not args.no_idempotency_check
                 )
+            except JobCancelled:
+                # a RuntimeError subclass — must reach the outer
+                # handler for the 128+signum exit, not the generic
+                # job-failure rc=1
+                raise
             except RuntimeError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 1

@@ -62,7 +62,14 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _DAILY_CACHE.get(key)
     if cached is not None:
-        return cached
+        lvl = cached.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            return cached
+        # an external spark.catalog.clearCache() (bench/oracle_compare
+        # hygiene between queries) dropped the block — re-persist the
+        # same plan so multi-branch consumers (MAD's ~6 arms) don't
+        # silently recompute the rollup per branch
+        return cached.persist()
     ev = t(spark, sf_dir, "events")
     df = ev.groupBy(
         "event_type",

@@ -98,3 +98,34 @@ class TestCliContract:
         )
         assert cli.main(["--conf", conf]) == 2
         assert "invalid config" in capsys.readouterr().err
+
+
+class TestCliCancellation:
+    def test_cancelled_job_exits_128_plus_signum(
+        self, cli_spark, sf_dir, tmp_path, monkeypatch, capsys
+    ):
+        """A JobCancelled escaping the job must reach the CLI's
+        cancellation handler (exit 128+signum), not be swallowed by
+        the generic RuntimeError job-failure branch (JobCancelled IS a
+        RuntimeError subclass)."""
+        import signal
+
+        from bend_archiver_spark import cancel
+        from bend_archiver_spark.job import FileArchiveJob
+
+        def cancelled_run(self, *a, **k):
+            cancel.request_cancel(signal.SIGTERM)
+            cancel.raise_if_cancelled("write")
+
+        monkeypatch.setattr(FileArchiveJob, "run", cancelled_run)
+        conf = _write_conf(tmp_path, tmp_path / "out_cancel")
+        rc = cli.main(
+            [
+                "--conf", conf,
+                "--source-path", f"{sf_dir}/lineitem.parquet",
+            ]
+        )
+        assert rc == 128 + signal.SIGTERM
+        assert "cancelled" in capsys.readouterr().err
+        # handler cleanup ran: default disposition restored
+        assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL

@@ -972,7 +972,9 @@ class TestUnforcedBroadcasts:
         import pathlib
         import re
 
-        qdir = pathlib.Path("bend_archiver_spark/queries")
+        import bend_archiver_spark
+
+        qdir = pathlib.Path(bend_archiver_spark.__file__).parent / "queries"
         banned = re.compile(
             r"F\.broadcast\(\s*(cust|supp|orders|li|lineitem|dl|part"
             r"|esupp|widget_parts|excess)\s*[,)]"
@@ -1038,7 +1040,9 @@ class TestBoundedWindowAudit:
         import pathlib
         import re
 
-        pkg = pathlib.Path("bend_archiver_spark")
+        import bend_archiver_spark
+
+        pkg = pathlib.Path(bend_archiver_spark.__file__).parent
         pat = re.compile(r"Window\.orderBy\(")
         found: dict[str, int] = {}
         for path in sorted(pkg.rglob("*.py")):
