@@ -97,6 +97,12 @@ QUERIES = [
     "agg_hll_distinct_sketch",
     "dedup_threshold_curve",
     "text_ttr_by_length_decile",
+    # round-7 additions: the prefix_max skyline (the two-phase running
+    # max must absorb the partition count exactly like the prefix
+    # sums), and the composed quality+near-dup funnel (minhash pair
+    # set and greedy drop rule must be partitioning-independent).
+    "pareto_frontier_parts",
+    "pipeline_curate_near_dedup",
 ]
 
 
