@@ -25,9 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as ops
-from .base import hash64_sql, register, t
+from .base import hash64_expr, hash64_sql, register, t
 from .dedup import (
     _band_union_sql,
+    _CC_CTE,
     _JACCARD_THRESHOLD,
     _minhash_sig_sql,
     _N_BANDS,
@@ -152,4 +153,102 @@ def pipeline_curate_near_dedup(
             .cast("bigint")
             .alias("final_words"),
         )
+    )
+
+
+# ---------------------------------------------------------------------
+# Leakage-safe train/val/test split (split by near-dup CLUSTER)
+# ---------------------------------------------------------------------
+
+_LSS_ORACLE = rf"""
+{_CC_CTE},
+assigned AS (
+  SELECT doc_id, component_id,
+         CASE
+           WHEN {hash64_sql('CAST(component_id AS VARCHAR)')} % 100 < 80
+             THEN 'train'
+           WHEN {hash64_sql('CAST(component_id AS VARCHAR)')} % 100 < 90
+             THEN 'val'
+           ELSE 'test'
+         END AS split,
+         CASE
+           WHEN {hash64_sql('CAST(doc_id AS VARCHAR)')} % 100 < 80
+             THEN 'train'
+           WHEN {hash64_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90
+             THEN 'val'
+           ELSE 'test'
+         END AS naive_split
+  FROM comp),
+per_cluster AS (
+  SELECT component_id, split,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT naive_split) AS n_naive_splits
+  FROM assigned GROUP BY 1, 2)
+SELECT split,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN n_naive_splits > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_naive_leaky_clusters
+FROM per_cluster
+GROUP BY 1
+"""
+
+
+@register(
+    "pipeline_leakage_safe_split",
+    oracle=_LSS_ORACLE,
+    tags=("pipeline", "sampling", "dedup", "composition"),
+)
+def pipeline_leakage_safe_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/val/test assignment keyed on the portable hash of each
+    document's NEAR-DUP CLUSTER label rather than the document id —
+    the standard guard against eval contamination: two near-duplicates
+    can never land in different splits, because their whole connected
+    component shares one hash. `pipeline_train_val_test` is the naive
+    per-document form; this query also audits it, counting per split
+    how many multi-document clusters the naive split would have
+    scattered across split boundaries (`n_naive_leaky_clusters` — the
+    leakage this operator exists to prevent; for the cluster split
+    itself the spanning count is exactly zero by construction, pinned
+    by a property test).
+
+    Scale shape: Jaccard pairs ride the shingle equi-join (bounded by
+    posting collisions, never O(n^2)); components is the iterative
+    min-label loop with checkpointed lineage (rounds bounded by
+    cluster diameter); after that everything is two map-combinable
+    groupBys over (component, split) then (split) — no window, no
+    driver collection. The DuckDB oracle computes the same fixpoint
+    with a recursive CTE and the identical md5-prefix hash split."""
+    from ..operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ops.jaccard_pairs(
+        ops.shingle(d, "doc_id", "text"), _JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, d.select("doc_id"))
+
+    def bucket_split(col):
+        b = hash64_expr(col.cast("string")) % 100
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    assigned = comp.select(
+        "doc_id",
+        "component_id",
+        bucket_split(F.col("component_id")).alias("split"),
+        bucket_split(F.col("doc_id")).alias("naive_split"),
+    )
+    per_cluster = assigned.groupBy("component_id", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("naive_split").alias("n_naive_splits"),
+    )
+    return per_cluster.groupBy("split").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum(F.when(F.col("n_naive_splits") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_naive_leaky_clusters"),
     )
