@@ -1078,3 +1078,21 @@ class TestCurateNearDedupPlan:
         assert "CartesianProduct" not in plan
         assert "InMemoryTableScan" in plan  # signature barrier holds
         assert "partial" in plan  # funnel combines map-side
+
+
+class TestSuiteWideCartesianBan:
+    def test_no_registered_plan_has_cartesian_product(self, spark, sf_dir):
+        """Suite-wide 100 TB guarantee: NO registered query may plan a
+        CartesianProduct, ever. All pair-generating operators go
+        through bucketed equi-joins (LSH bands, pigeonhole simhash,
+        shingle postings, wedge joins); the only nested-loop joins in
+        the suite are bounded-build-side broadcasts (one-row stats,
+        codebooks, greedy-round argmaxes), which plan as
+        BroadcastNestedLoopJoin, not CartesianProduct. ~70s: builds
+        every plan, executes nothing."""
+        offenders = [
+            name
+            for name in REGISTRY
+            if "CartesianProduct" in plan_of(spark, sf_dir, name)
+        ]
+        assert offenders == []
