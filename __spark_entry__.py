@@ -196,6 +196,9 @@ _CHANGED_R07 = frozenset({
     # skyline's exclusive running max moved onto prefix_max (the
     # two-phase range-exchange scan) — fact-scale safe, re-earns a row
     "pareto_frontier_parts",
+    # rule expressions factored into gopher_flags (expression-identical,
+    # re-verified green) — re-emits out of caution
+    "text_gopher_quality_rules",
 })
 
 _CHECKED_GOOD = (

@@ -35,7 +35,7 @@ from .dedup import (
     _P,
     _PERMS,
 )
-from .quality2 import _GOPHER_ORACLE, text_gopher_quality_rules
+from .quality2 import _GOPHER_ORACLE, gopher_flags
 
 _CURATE_DEDUP_ORACLE = rf"""
 WITH gm AS ({_GOPHER_ORACLE}),
@@ -100,20 +100,21 @@ def pipeline_curate_near_dedup(
     """Quality-filter -> MinHash-LSH near-dup drop -> per-source
     funnel, composed lazily into one DAG.
 
-    Scale shape: the Gopher stage is one map-only projection; the
-    signature pipeline (shingle hash minima, banding, candidate join,
-    exact verification) runs ONLY over quality survivors because the
-    filter sits upstream of the persisted shingle barrier; the drop
-    set is pair-bounded (band collisions that verified), far below
-    corpus size, so the anti-join side stays small; the funnel itself
-    is ONE map-combinable groupBy over (source). No stage
-    materializes between stages except the documented signature
-    barrier."""
+    Scale shape: the Gopher flags are computed INLINE on the document
+    scan (``gopher_flags`` — one map-only projection; joining a
+    separately computed corpus-sized rule table here would cost two
+    corpus shuffles for what one scan derives); the signature pipeline
+    (shingle hash minima, banding, candidate join, exact
+    verification) runs ONLY over quality survivors because the filter
+    sits upstream of the persisted shingle barrier; the drop set is
+    pair-bounded (band collisions that verified), far below corpus
+    size, so the anti-join side stays small; the funnel itself is ONE
+    map-combinable groupBy over (source). No stage materializes
+    between stages except the documented signature barrier."""
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    g = text_gopher_quality_rules(spark, sf_dir).select(
-        "doc_id", "n_words", "keep"
+    base = gopher_flags(d).select(
+        "doc_id", "source", "text", "n_words", "keep"
     )
-    base = d.join(g, "doc_id")
     dq = base.filter("keep").select("doc_id", "text")
     pairs = ops.minhash_lsh_dedup(
         dq,

@@ -84,6 +84,54 @@ FROM m
 """
 
 
+def gopher_flags(df: DataFrame) -> DataFrame:
+    """Append the Gopher metric and rule columns (n_words, word_chars,
+    n_alpha_words, n_stop_hits, n_symbols, rule_*, keep) to *df*,
+    which must carry a ``text`` column. Map-only — one projection, no
+    shuffle — so composed pipelines can gate on quality INSIDE their
+    document scan instead of shuffle-joining against a separately
+    computed corpus-sized rule table."""
+    arr = F.split(F.trim(F.lower("text")), r"\s+")
+    n_words = F.size(arr).cast("bigint")
+    word_chars = F.aggregate(
+        arr, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    ).cast("bigint")
+    n_alpha = F.size(F.filter(arr, lambda x: x.rlike("[a-z]"))).cast("bigint")
+    n_stop = F.size(
+        F.array_intersect(arr, F.array(*[F.lit(s) for s in _STOPWORDS]))
+    ).cast("bigint")
+    n_symbols = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+        + F.expr("(length(text) - length(replace(text, '...', ''))) div 3")
+    ).cast("bigint")
+    m = df.withColumns(
+        {
+            "n_words": n_words,
+            "word_chars": word_chars,
+            "n_alpha_words": n_alpha,
+            "n_stop_hits": n_stop,
+            "n_symbols": n_symbols,
+        }
+    )
+    r_wc = F.col("n_words").between(_WC_MIN, _WC_MAX)
+    r_mwl = (_MWL_MIN * F.col("n_words") <= F.col("word_chars")) & (
+        F.col("word_chars") <= _MWL_MAX * F.col("n_words")
+    )
+    r_sym = 10 * F.col("n_symbols") <= F.col("n_words")
+    r_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    r_stop = F.col("n_stop_hits") >= _MIN_STOP_HITS
+    return m.withColumns(
+        {
+            "rule_word_count": r_wc,
+            "rule_mean_word_len": r_mwl,
+            "rule_symbol_ratio": r_sym,
+            "rule_alpha_words": r_alpha,
+            "rule_stopwords": r_stop,
+            "keep": r_wc & r_mwl & r_sym & r_alpha & r_stop,
+        }
+    )
+
+
 @register(
     "text_gopher_quality_rules",
     oracle=_GOPHER_ORACLE,
@@ -102,45 +150,11 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines agree bit-for-bit. Map-only: one projection over
     the scan computes all counters with array HOFs — no explode, no
     shuffle, the cheapest possible full-corpus pass (at 100 TB this is
-    a single wave of scan tasks)."""
+    a single wave of scan tasks). The expressions live in
+    :func:`gopher_flags` so composed pipelines can inline them into
+    their own scan instead of joining against this query's output."""
     d = t(spark, sf_dir, "documents")
-    arr = F.split(F.trim(F.lower("text")), r"\s+")
-    n_words = F.size(arr).cast("bigint")
-    word_chars = F.aggregate(
-        arr, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
-    ).cast("bigint")
-    n_alpha = F.size(F.filter(arr, lambda x: x.rlike("[a-z]"))).cast("bigint")
-    n_stop = F.size(
-        F.array_intersect(arr, F.array(*[F.lit(s) for s in _STOPWORDS]))
-    ).cast("bigint")
-    n_symbols = (
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
-        + F.expr("(length(text) - length(replace(text, '...', ''))) div 3")
-    ).cast("bigint")
-    m = d.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        word_chars.alias("word_chars"),
-        n_alpha.alias("n_alpha_words"),
-        n_stop.alias("n_stop_hits"),
-        n_symbols.alias("n_symbols"),
-    )
-    r_wc = F.col("n_words").between(_WC_MIN, _WC_MAX)
-    r_mwl = (_MWL_MIN * F.col("n_words") <= F.col("word_chars")) & (
-        F.col("word_chars") <= _MWL_MAX * F.col("n_words")
-    )
-    r_sym = 10 * F.col("n_symbols") <= F.col("n_words")
-    r_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
-    r_stop = F.col("n_stop_hits") >= _MIN_STOP_HITS
-    return m.select(
-        "*",
-        r_wc.alias("rule_word_count"),
-        r_mwl.alias("rule_mean_word_len"),
-        r_sym.alias("rule_symbol_ratio"),
-        r_alpha.alias("rule_alpha_words"),
-        r_stop.alias("rule_stopwords"),
-        (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("keep"),
-    )
+    return gopher_flags(d.select("doc_id", "text")).drop("text")
 
 
 # ---------------------------------------------------------------------
