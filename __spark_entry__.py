@@ -199,6 +199,11 @@ _CHANGED_R07 = frozenset({
     # rule expressions factored into gopher_flags (expression-identical,
     # re-verified green) — re-emits out of caution
     "text_gopher_quality_rules",
+    # corpus-corpus joins removed: gopher gate inlined into the scan
+    # (curate_v2), quality gate inlined + min_by metadata fold
+    # (curate_documents: 3 scans + 2 joins -> 1 scan, 1 exchange)
+    "pipeline_curate_v2",
+    "pipeline_curate_documents",
 })
 
 _CHECKED_GOOD = (

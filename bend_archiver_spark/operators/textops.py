@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["token_stats", "quality_scores"]
+__all__ = ["token_stats", "quality_scores", "quality_flag"]
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in")
 BPE_RE = r"[a-z0-9]+|[^a-z0-9\s]"
@@ -22,6 +22,30 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(bpe).cast("bigint").alias("bpe_tokens"),
         n_chars.cast("bigint").alias("n_chars"),
         (n_chars.cast("double") / F.size(ws)).alias("chars_per_token"),
+    )
+
+
+def quality_flag(
+    text_col: str,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    min_words: int = 20,
+    max_words: int = 1000,
+    min_stopword_ratio: float = 0.01,
+):
+    """``passes_quality`` as a single inline Column expression, so a
+    composed pipeline can gate on quality INSIDE its own document scan
+    instead of joining against :func:`quality_scores`'s corpus-sized
+    output (a corpus-corpus shuffle for data one projection derives).
+    MUST stay rule-identical to quality_scores — change both
+    together."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    stops = F.filter(words, lambda w: w.isin(*stopwords))
+    n_words = F.size(words).cast("bigint")
+    ratio = F.size(stops).cast("double") / F.size(words)
+    return (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (ratio >= min_stopword_ratio)
     )
 
 

@@ -48,16 +48,16 @@ _MIN_WORDS = 30
 def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation pipeline: quality gate -> token-set dedup (keep the
     minimum doc_id per duplicate group) -> curated corpus with
-    metadata. Each stage is one of the standalone operators; the
-    composition stays a single Catalyst plan (two shuffles: the dedup
-    groupBy and the final metadata join)."""
+    metadata. The gate is the inline ``quality_flag`` expression on
+    the document scan (rule-identical to the quality_scores operator;
+    a rule-table join here would cost a corpus-corpus shuffle for
+    data one projection derives), and the keeper's metadata rides the
+    same groupBy via min_by — so the whole pipeline is ONE
+    map-combinable shuffle, no joins at all."""
+    from ..operators.textops import quality_flag
+
     d = t(spark, sf_dir, "documents")
-    quality = (
-        quality_scores(d, "doc_id", "text", min_words=_MIN_WORDS)
-        .filter("passes_quality")
-        .select("doc_id")
-    )
-    passed = d.join(quality, "doc_id")
+    passed = d.filter(quality_flag("text", min_words=_MIN_WORDS))
     set_key = F.md5(
         F.concat_ws(
             " ",
@@ -66,14 +66,18 @@ def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    keepers = (
-        passed.select("doc_id", set_key.alias("set_key"))
+    return (
+        passed.select(
+            "doc_id", "lang", "source", "n_chars", set_key.alias("set_key")
+        )
         .groupBy("set_key")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    return keepers.join(d, "doc_id").select(
-        "doc_id", "lang", "source", "n_chars"
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by(
+                F.struct("lang", "source", "n_chars"), F.col("doc_id")
+            ).alias("m"),
+        )
+        .select("doc_id", "m.lang", "m.source", "m.n_chars")
     )
 
 

@@ -608,17 +608,15 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages) and that the whole chain stays exact int64 (both cuts are
     cleared of division).
 
-    Scale shape: every stage keys by doc_id, so the three filter
-    joins share one hash-partitioning of the survivors (Catalyst
-    reuses the exchange); the LM/DSIR sides reduce BEFORE joining
-    (per-document scores, not token streams); the dedup groupBy
+    Scale shape: the Gopher gate is computed INLINE on the document
+    scan (``gopher_flags`` — a rule table join would add a
+    corpus-corpus shuffle for data one projection derives); the
+    LM/DSIR stages genuinely need their own corpus passes (vocabulary
+    joins), but they reduce to per-document scores BEFORE joining, and
+    both score joins key by doc_id so they share one hash-partitioning
+    of the survivors (Catalyst reuses the exchange); the dedup groupBy
     touches only post-filter survivors."""
     d = t(spark, sf_dir, "documents")
-    g = (
-        text_gopher_quality_rules(spark, sf_dir)
-        .filter("keep")
-        .select("doc_id")
-    )
     lm = text_bigram_lm_bits(spark, sf_dir).filter(
         _LM_CUT_DEN * F.col("total_bits")
         <= _LM_CUT_NUM * F.col("n_bigrams")
@@ -627,8 +625,9 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "score_bits"
     )
     surv = (
-        d.select("doc_id", "lang", "source", "text")
-        .join(g, "doc_id")
+        gopher_flags(d.select("doc_id", "lang", "source", "text"))
+        .filter("keep")
+        .select("doc_id", "lang", "source", "text")
         .join(lm, "doc_id")
         .join(ds, "doc_id")
     )

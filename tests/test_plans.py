@@ -1096,3 +1096,15 @@ class TestSuiteWideCartesianBan:
             if "CartesianProduct" in plan_of(spark, sf_dir, name)
         ]
         assert offenders == []
+
+
+class TestCurateDocumentsSingleShuffle:
+    def test_no_joins_one_exchange(self, spark, sf_dir):
+        """Round 7: the quality gate is an inline scan predicate and
+        the keeper metadata rides min_by inside the dedup groupBy —
+        the whole pipeline is one map-combinable shuffle over ONE
+        document scan, zero joins."""
+        plan = plan_of(spark, sf_dir, "pipeline_curate_documents")
+        assert "Join" not in plan
+        assert plan.count("FileScan parquet") == 1
+        assert "partial" in plan
