@@ -200,10 +200,15 @@ _CHANGED_R07 = frozenset({
     # re-verified green) — re-emits out of caution
     "text_gopher_quality_rules",
     # corpus-corpus joins removed: gopher gate inlined into the scan
-    # (curate_v2), quality gate inlined + min_by metadata fold
-    # (curate_documents: 3 scans + 2 joins -> 1 scan, 1 exchange)
+    # (curate_v2, + keep-one as a window), quality gate inlined +
+    # min_by metadata fold (curate_documents: 3 scans + 2 joins ->
+    # 1 scan, 1 exchange), label carried through the explode
+    # (centroid distances / silhouette — the silhouette also dropped
+    # a forced corpus-proportional label broadcast)
     "pipeline_curate_v2",
     "pipeline_curate_documents",
+    "embedding_centroid_distances",
+    "embedding_silhouette_centroid",
 })
 
 _CHECKED_GOOD = (

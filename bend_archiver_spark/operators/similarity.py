@@ -74,14 +74,26 @@ def quantized_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def explode_quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, i, xq): positional explode with quantized components — the
-    row form used where per-dimension joins are genuinely needed."""
+def explode_quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, [*extra], i, xq): positional explode with quantized
+    components — the row form used where per-dimension joins are
+    genuinely needed. ``extra_cols`` carries metadata (e.g. the label)
+    THROUGH the explode so callers never join the corpus-sized
+    component stream back to the source table for columns one scan
+    already had."""
     out = fanout(df)
     return out.select(
-        F.col(id_col).alias("vec_id"), F.posexplode(vec_col).alias("i", "x")
+        F.col(id_col).alias("vec_id"),
+        *extra_cols,
+        F.posexplode(vec_col).alias("i", "x"),
     ).select(
         "vec_id",
+        *extra_cols,
         "i",
         F.round(F.col("x").cast("double") * QSCALE, 0).cast("long").alias("xq"),
     )

@@ -79,13 +79,15 @@ def embedding_centroid_distances(
     engines with a 9-dp round. Corpus cost: one (label, dim) grouped
     sum over the exploded components; everything after runs on
     |labels| x dims and |labels|^2 rows."""
+    # label rides THROUGH the explode (extra_cols) — joining the
+    # corpus-sized component stream back to the source table for a
+    # column one scan already had would add a corpus shuffle
     e = ops.explode_quantized(
-        t(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        extra_cols=("label",),
     )
-    lab = t(spark, sf_dir, "embeddings").select("vec_id", "label")
     c = (
-        e.join(lab, "vec_id")
-        .groupBy("label", "i")
+        e.groupBy("label", "i")
         .agg(
             F.sum("xq").cast("bigint").alias("s"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -262,11 +264,16 @@ def embedding_silhouette_centroid(
     (label, dim) centroid pass and one vector x |labels| distance
     pass against the broadcast centroid table."""
     emb = t(spark, sf_dir, "embeddings")
-    e = ops.explode_quantized(emb, "vec_id", "embedding")
-    lab = emb.select("vec_id", "label")
+    # the TRUE label rides through the explode (extra_cols), so
+    # neither the centroid pass nor the silhouette rollup ever joins
+    # the corpus-sized component/distance stream back to the source
+    # table — the old plan force-broadcast the per-vector label table,
+    # which is corpus-proportional and would die at 100x
+    el = ops.explode_quantized(
+        emb, "vec_id", "embedding", extra_cols=("label",)
+    )
     c = (
-        e.join(lab, "vec_id")
-        .groupBy("label", "i")
+        el.groupBy("label", "i")
         .agg(
             F.sum("xq").cast("bigint").alias("s"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -275,8 +282,8 @@ def embedding_silhouette_centroid(
     )
     term = (F.col("n") * F.col("xq") - F.col("s")).cast("decimal(38,0)")
     vd = (
-        e.join(F.broadcast(c), "i")
-        .groupBy("vec_id", "clabel")
+        el.join(F.broadcast(c), "i")
+        .groupBy("vec_id", "label", "clabel")
         .agg(
             F.sum((term * term).cast("decimal(38,0)")).alias("d2s"),
             F.max("n").alias("n"),
@@ -284,14 +291,14 @@ def embedding_silhouette_centroid(
     )
     dist = vd.select(
         "vec_id",
+        "label",
         "clabel",
         (
             F.sqrt(F.col("d2s").cast("double")) / F.col("n") / 1000000.0
         ).alias("d"),
     )
     ab = (
-        dist.join(F.broadcast(lab), "vec_id")
-        .groupBy("vec_id", "label")
+        dist.groupBy("vec_id", "label")
         .agg(
             F.max(
                 F.when(F.col("clabel") == F.col("label"), F.col("d"))

@@ -29,7 +29,7 @@ module is beyond-reference training-pipeline capability.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import fanout, hash64_expr, hash64_sql, register, t
@@ -631,13 +631,19 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lm, "doc_id")
         .join(ds, "doc_id")
     )
+    # keep-one as a partition-window min over the content key — one
+    # exchange on ck, replacing the old groupBy + join-back (which
+    # re-shuffled both sides on doc_id for the same verdict)
     ck = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
-    keep1 = surv.groupBy(ck.alias("ck")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    return surv.join(keep1.select("doc_id"), "doc_id").select(
-        "doc_id", "lang", "source",
-        "n_bigrams", "total_bits", "n_tokens", "score_bits",
+    w = Window.partitionBy("ck")
+    return (
+        surv.withColumn("ck", ck)
+        .withColumn("_min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .select(
+            "doc_id", "lang", "source",
+            "n_bigrams", "total_bits", "n_tokens", "score_bits",
+        )
     )
 
 
