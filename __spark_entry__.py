@@ -209,6 +209,11 @@ _CHANGED_R07 = frozenset({
     "pipeline_curate_documents",
     "embedding_centroid_distances",
     "embedding_silhouette_centroid",
+    # broadcast-hint audit, second pass: part-count sides (basket
+    # lift), FK customer keys, and per-vector label tables unhinted
+    "orders_basket_affinity",
+    "verify_quality_constraints",
+    "embedding_knn_label_accuracy",
 })
 
 _CHECKED_GOOD = (

@@ -228,8 +228,10 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ab").cast("double") * F.col("n_orders").cast("double")
     ) / (F.col("na").cast("double") * F.col("nb").cast("double"))
     return (
-        pairs.join(F.broadcast(pa), "part_a")
-        .join(F.broadcast(pb), "part_b")
+        # pa/pb are part-catalog-sized (scale-linear) — no hint;
+        # stats elect broadcast small, shuffle join at 100x
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
         .crossJoin(tot)
         .select(
             "part_a", "part_b",

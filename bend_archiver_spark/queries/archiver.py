@@ -408,12 +408,13 @@ def verify_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's count-only verification (A31, worker/worker.go:230).
     The row-local rules compute in ONE combinable pass; uniqueness
     rides the same aggregate via COUNT(*) - COUNT(DISTINCT); the FK
-    probe is a broadcast anti-join count."""
+    probe is an anti-join count (customer keys are scale-linear, so
+    no broadcast hint — stats elect it small, shuffle at 100x)."""
     o = t(spark, sf_dir, "orders")
     cust_keys = t(spark, sf_dir, "customer").select("c_custkey")
     fk = (
         o.join(
-            F.broadcast(cust_keys),
+            cust_keys,
             o.o_custkey == cust_keys.c_custkey,
             "left_anti",
         ).agg(F.count(F.lit(1)).cast("bigint").alias("fk_violations"))

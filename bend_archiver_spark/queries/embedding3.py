@@ -190,8 +190,11 @@ def embedding_knn_label_accuracy(
     )
     correct = F.when(F.col("label_p") == F.col("label_t"), 1).otherwise(0)
     return (
-        nn.join(F.broadcast(lt), "query_id")
-        .join(F.broadcast(lp), "neighbor_id")
+        # lt/lp are per-vector label tables (corpus-proportional) —
+        # unhinted so AQE broadcasts the SMALL side (nn is bounded by
+        # the query budget) instead of a forced big-side broadcast
+        nn.join(lt, "query_id")
+        .join(lp, "neighbor_id")
         .groupBy(F.col("label_t").cast("bigint").alias("label"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_queries"),

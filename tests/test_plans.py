@@ -977,7 +977,8 @@ class TestUnforcedBroadcasts:
         qdir = pathlib.Path(bend_archiver_spark.__file__).parent / "queries"
         banned = re.compile(
             r"F\.broadcast\(\s*(cust|supp|orders|li|lineitem|dl|part"
-            r"|esupp|widget_parts|excess)\s*[,)]"
+            r"|esupp|widget_parts|excess|cust_keys|lab|emb|docs|base"
+            r"|dq)\s*[,)]"
         )
         offenders = []
         for path in sorted(qdir.glob("*.py")):
