@@ -11,7 +11,17 @@ import json
 
 import pytest
 
-from bend_archiver_spark import cli
+from bend_archiver_spark import cancel, cli
+
+
+@pytest.fixture(autouse=True)
+def _clean_cancel_token():
+    """The cancellation token is process-global; a test that trips it
+    (TestCliCancellation) must never leak a stale cancellation into
+    later suites' direct job.run() calls."""
+    cancel.reset()
+    yield
+    cancel.reset()
 
 
 @pytest.fixture()
