@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import fanout, hash64_expr, ngram_array, register, t
+from .base import fanout, hash64_expr, hash64_sql, ngram_array, register, t
 
 # the phrase to search; chained generically so a k-term phrase is k-1
 # positional joins
@@ -163,4 +163,155 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_cov"), F.lit(0)).cast("double")
             / F.col("n_tokens")
         ).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Exact-substring dedup REMOVAL (keep-first, cleaned-text rebuild)
+# ---------------------------------------------------------------------
+
+# (doc_id, start) packed into one int64 for the keeper argmin: start
+# fits 2^20 (docs are far below a million tokens) and doc_id stays
+# below 2^43 even at the 10x rehearsal offsets, so the packed key is
+# exact and its MIN is the lexicographic (doc_id, start) minimum.
+_KEY_SHIFT = 1 << 20
+_EMPTY_MD5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5("")
+
+_REMOVE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+gl AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - {_SPAN_N} + 2),
+                        i -> list_aggregate(
+                               list_slice(ws, i, i + {_SPAN_N} - 1),
+                               'string_agg', ' ')) AS gs
+  FROM tok WHERE len(ws) >= {_SPAN_N}),
+grams AS (
+  SELECT doc_id, {hash64_sql('g')} AS g, s FROM (
+    SELECT doc_id, unnest(gs) AS g,
+           generate_subscripts(gs, 1) - 1 AS s
+    FROM gl)),
+gstat AS (
+  SELECT g, MIN(doc_id * {_KEY_SHIFT} + s) AS first_key
+  FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+rem AS (
+  SELECT DISTINCT doc_id, s + x AS p
+  FROM grams JOIN gstat USING (g)
+  CROSS JOIN (SELECT unnest(range(0, {_SPAN_N})) AS x)
+  WHERE doc_id * {_KEY_SHIFT} + s <> first_key),
+tp AS (
+  SELECT doc_id, unnest(ws) AS tok,
+         generate_subscripts(ws, 1) - 1 AS p
+  FROM tok),
+kept AS (
+  SELECT tp.doc_id, tp.tok, tp.p
+  FROM tp LEFT JOIN rem ON tp.doc_id = rem.doc_id AND tp.p = rem.p
+  WHERE rem.doc_id IS NULL),
+cleaned AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_hash
+  FROM kept GROUP BY doc_id),
+remc AS (SELECT doc_id, COUNT(*) AS n_removed FROM rem GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(cleaned_hash, '{_EMPTY_MD5}') AS cleaned_hash
+FROM tok t
+LEFT JOIN remc USING (doc_id)
+LEFT JOIN cleaned USING (doc_id)
+"""
+
+
+@register(
+    "dedup_exact_substring_removal",
+    oracle=_REMOVE_ORACLE,
+    tags=("dedup", "text", "spans"),
+)
+def dedup_exact_substring_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring dedup as a TRANSFORMATION (Lee et al. 2022),
+    not just the coverage measure: every token position inside an
+    8-gram that occurs verbatim in >= 2 distinct documents is removed
+    EXCEPT in the gram's globally first occurrence (minimum
+    (doc_id, start) — the keep-first rule), and the cleaned document
+    is rebuilt from the surviving positions in order. The output
+    fingerprints the rebuilt text (md5 over the rejoined tokens) so
+    the whole removal pipeline — not just the counts — is
+    hash-checked against the oracle.
+
+    Scale shape: O(corpus tokens), never document pairs — one gram
+    groupBy for the keeper argmin (packed-int64 min, map-combinable),
+    an equi-join back on the 60-bit gram hash, a x8 positional
+    explode of only the non-keeper duplicated occurrences, one
+    anti-join, and a per-document rebuild groupBy whose state is
+    bounded by document length. The same shuffle inventory as
+    ``dedup_span_coverage`` plus the rebuild pass."""
+    d = fanout(t(spark, sf_dir, "documents"))
+    arr = F.split(F.trim(F.lower("text")), r"\s+")
+    base = d.select("doc_id", F.size(arr).cast("bigint").alias("n_tokens"))
+    grams = (
+        d.filter(F.size(arr) >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.posexplode(ngram_array(arr, _SPAN_N)).alias("s", "g_str"),
+        )
+        .select("doc_id", "s", hash64_expr(F.col("g_str")).alias("g"))
+    )
+    key = F.col("doc_id") * _KEY_SHIFT + F.col("s")
+    gstat = (
+        grams.groupBy("g")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min(key).alias("first_key"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("g", "first_key")
+    )
+    rem = (
+        grams.join(gstat, "g")
+        .filter(key != F.col("first_key"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + (_SPAN_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tokpos = d.select(
+        "doc_id", F.posexplode(arr).alias("p", "tok")
+    )
+    kept = tokpos.join(rem, ["doc_id", "p"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda x: x.tok,
+                ),
+            )
+        ).alias("cleaned_hash"),
+    )
+    remc = rem.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_removed")
+    )
+    return (
+        base.join(remc, "doc_id", "left")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias(
+                "n_removed"
+            ),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("cleaned_hash", F.lit(_EMPTY_MD5)).alias(
+                "cleaned_hash"
+            ),
+        )
     )

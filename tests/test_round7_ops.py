@@ -87,3 +87,32 @@ class TestLeakageSafeSplit:
             sum(r["n_naive_leaky_clusters"] for r in out.values()) == leaky
         )
         a.unpersist()
+
+
+class TestExactSubstringRemoval:
+    def test_partition_identity_and_coverage_bound(self, spark, sf_dir):
+        """Structural contract: kept + removed == total for every doc,
+        and removal never exceeds duplicated-span coverage (the keeper
+        occurrence is exempt, so removed <= covered)."""
+        rem = {
+            r["doc_id"]: r
+            for r in REGISTRY["dedup_exact_substring_removal"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        cov = {
+            r["doc_id"]: r["n_cov"]
+            for r in REGISTRY["dedup_span_coverage"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert rem, "no documents"
+        for doc_id, r in rem.items():
+            assert r["n_kept"] + r["n_removed"] == r["n_tokens"], doc_id
+            assert r["n_removed"] <= cov[doc_id], doc_id
+        # the transform is live on this corpus: something was removed
+        assert any(r["n_removed"] > 0 for r in rem.values())
+        # untouched docs fingerprint their original token stream
+        assert all(
+            r["cleaned_hash"] is not None for r in rem.values()
+        )
