@@ -103,6 +103,10 @@ QUERIES = [
     # set and greedy drop rule must be partitioning-independent).
     "pareto_frontier_parts",
     "pipeline_curate_near_dedup",
+    # the cleaned-text rebuild collects (pos, token) structs whose
+    # arrival order varies with partitioning — array_sort must fully
+    # neutralize it before the md5 fingerprint.
+    "dedup_exact_substring_removal",
 ]
 
 
