@@ -400,3 +400,36 @@ class TestCancellationDestructiveLast:
         )
         assert int(left) == N_ROWS
         shutil.rmtree(tgt, ignore_errors=True)
+
+    def test_cancelled_job_rerun_hits_idempotency_gate(
+        self, spark, derby, tmp_path, monkeypatch
+    ):
+        """Recovery contract after a cancellation that landed post-
+        write: the target holds the rows, the source still holds them
+        too, and a naive re-run REFUSES via the idempotency gate
+        instead of appending a second copy — the operator must
+        explicitly clean the target (or skip) to proceed, exactly the
+        reference's re-run semantics (A32)."""
+        from bend_archiver_spark import cancel, job as job_mod
+
+        cancel.reset()
+        real_write = job_mod.write_batch
+
+        def write_then_cancel(*a, **kw):
+            real_write(*a, **kw)
+            cancel.request_cancel()
+
+        monkeypatch.setattr(job_mod, "write_batch", write_then_cancel)
+        tgt = str(tmp_path / "tgt_rerun")
+        cfg = _cfg(derby, tgt, delete_after_sync=True,
+                   source_where_condition="ID > 0")
+        with pytest.raises(cancel.JobCancelled):
+            JdbcArchiveJob(spark, cfg).run()
+        cancel.reset()
+        monkeypatch.setattr(job_mod, "write_batch", real_write)
+        # naive re-run: the gate sees the archived predicate rows
+        with pytest.raises(RuntimeError, match="idempotency gate"):
+            JdbcArchiveJob(spark, cfg).run()
+        # no second copy was appended, source never mutated
+        assert spark.read.parquet(tgt).count() == N_ROWS
+        shutil.rmtree(tgt, ignore_errors=True)
