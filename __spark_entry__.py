@@ -214,6 +214,8 @@ _CHANGED_R07 = frozenset({
     "orders_basket_affinity",
     "verify_quality_constraints",
     "embedding_knn_label_accuracy",
+    # third audit pass: per-doc TF-vector norm table unhinted
+    "text_tf_cosine_pairs",
 })
 
 _CHECKED_GOOD = (

@@ -168,8 +168,11 @@ def text_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64, so the final sqrt/divide is bit-identical across engines.
 
     At 100 TB the same shape holds: the token-keyed equi-join is a
-    shuffle on token (skew-bounded because trigram df is small), the
-    per-doc norm table is tiny and broadcast.
+    shuffle on token (skew-bounded because trigram df is small); the
+    per-doc norm table is corpus-proportional, so it joins UNHINTED —
+    stats/AQE broadcast whichever side is genuinely smaller (usually
+    the collision-bounded pair table), and a forced norm broadcast
+    would die at 100x.
     """
     tf = (
         _ngram_tokens(spark, sf_dir, _TRIGRAM_EXPR)
@@ -192,10 +195,10 @@ def text_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("bigint").alias("dot"))
     )
-    na = F.broadcast(norms.select(F.col("doc_id").alias("doc_a"),
-                                  F.col("norm_sq").alias("norm_a")))
-    nb = F.broadcast(norms.select(F.col("doc_id").alias("doc_b"),
-                                  F.col("norm_sq").alias("norm_b")))
+    na = norms.select(F.col("doc_id").alias("doc_a"),
+                      F.col("norm_sq").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"),
+                      F.col("norm_sq").alias("norm_b"))
     cosine = F.col("dot") / (F.sqrt("norm_a") * F.sqrt("norm_b"))
     return (
         pairs.join(na, "doc_a")
