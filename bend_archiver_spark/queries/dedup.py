@@ -557,3 +557,64 @@ def dedup_cross_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, bench, "doc_id", "text",
         threshold=_X_THRESHOLD, perms=_PERMS, n_bands=_N_BANDS,
     )
+
+
+@register(
+    "dedup_source_priority_keep_one",
+    oracle=_CC_CTE
+    + r"""
+, dd AS (
+  SELECT c.doc_id, c.component_id, d.source
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+stats AS (
+  SELECT component_id,
+         CAST(COUNT(*) AS BIGINT) AS component_size,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM dd GROUP BY 1),
+k1 AS (SELECT component_id, MIN(source) AS kept_source FROM dd GROUP BY 1),
+k2 AS (
+  SELECT dd.component_id, k1.kept_source, MIN(dd.doc_id) AS doc_id
+  FROM dd JOIN k1 ON dd.component_id = k1.component_id
+              AND dd.source = k1.kept_source
+  GROUP BY 1, 2)
+SELECT k2.doc_id, k2.kept_source, s.component_size, s.n_sources
+FROM k2 JOIN stats s ON s.component_id = k2.component_id
+""",
+    tags=("dedup", "graph", "pipeline"),
+)
+def dedup_source_priority_keep_one(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Policy-based keeper selection: within each near-dup component
+    the surviving document comes from the highest-priority SOURCE
+    (priority = source-name order here; a production run plugs in its
+    curated-before-crawl ranking), tie-broken by doc_id — the
+    FineWeb-style rule, vs ``dedup_clusters_keep_one``'s plain
+    min-id. The keeper is one lexicographic MIN over
+    struct(source, doc_id) folded into the same component rollup that
+    computes size and source spread — no second pass, no join-back;
+    the only join is components-to-metadata, co-keyed on doc_id."""
+    from pyspark.sql import Window as _W  # noqa: F401 (parity w/ module)
+
+    from ..operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ops.jaccard_pairs(
+        ops.shingle(d, "doc_id", "text"), _JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, d.select("doc_id"))
+    dd = comp.join(d.select("doc_id", "source"), "doc_id")
+    return (
+        dd.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("component_size"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.min(F.struct("source", "doc_id")).alias("k"),
+        )
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.source").alias("kept_source"),
+            "component_size",
+            "n_sources",
+        )
+    )
