@@ -126,14 +126,18 @@ def main(argv: list[str] | None = None) -> int:
     # parity with the reference's signal context (cmd/main.go:29-35).
     # The job's destructive-last gate guarantees an interrupt between
     # write and verify never reaches delete-after-sync; the finally
-    # below still stops the Spark session on the way out.
+    # below still stops the Spark session on the way out. Handlers are
+    # installed INSIDE the try so a signal landing during the
+    # multi-second Spark session launch still exits through the
+    # cancellation path (128+signum), not an uncaught traceback.
     reset_cancel()
-    prev_handlers = install_signal_handlers()
-
-    spark = get_spark("bend_archiver_spark")
+    prev_handlers = None
+    spark = None
     rec = ThroughputRecorder()
     rc = 0
     try:
+        prev_handlers = install_signal_handlers()
+        spark = get_spark("bend_archiver_spark")
         jdbc_mode = not args.source_path and not args.sf_table
         if args.sf_table:
             source_df = load_table(spark, args.source_path, args.sf_table)
@@ -201,8 +205,10 @@ def main(argv: list[str] | None = None) -> int:
         sig = last_signal()
         rc = 128 + sig if sig else 1
     finally:
-        restore_signal_handlers(prev_handlers)
-        spark.stop()
+        if prev_handlers is not None:
+            restore_signal_handlers(prev_handlers)
+        if spark is not None:
+            spark.stop()
     end = time.time()
     print(f"end time: {time.strftime('%Y-%m-%d %H:%M:%S', time.localtime(end))}")
     print(f"total time: {end - start:.1f}s")

@@ -50,7 +50,10 @@ _DAILY_SQL = """
 # (EWMA, MAD, xcorr, CUSUM) consume this frame, and each used to
 # persist() a fresh copy — a long driver session sweeping the registry
 # accumulated four cached duplicates of the same (types x days) table.
-# Memoizing bounds the cache at one entry per data directory.
+# Memoizing bounds the cache at one LIVE entry per data directory:
+# keys are (applicationId, sf_dir), and entries from superseded
+# sessions (stopped + restarted -> new appId) are evicted on the next
+# call so the dict never pins DataFrames of dead sessions.
 _DAILY_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -59,17 +62,24 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arms (med/dev/mad branches) and EWMA/xcorr from 2 each —
     # exchange reuse is an optimizer courtesy, not a guarantee (repo
     # rule 4), so the (types x days) frame is cached explicitly
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _DAILY_CACHE if k[0] != app_id]:
+        del _DAILY_CACHE[k]  # stale session — let its graph collect
+    key = (app_id, sf_dir)
     cached = _DAILY_CACHE.get(key)
     if cached is not None:
-        lvl = cached.storageLevel
-        if lvl.useMemory or lvl.useDisk:
-            return cached
-        # an external spark.catalog.clearCache() (bench/oracle_compare
-        # hygiene between queries) dropped the block — re-persist the
-        # same plan so multi-branch consumers (MAD's ~6 arms) don't
-        # silently recompute the rollup per branch
-        return cached.persist()
+        try:
+            lvl = cached.storageLevel
+            if lvl.useMemory or lvl.useDisk:
+                return cached
+            # an external spark.catalog.clearCache() (bench/
+            # oracle_compare hygiene between queries) dropped the
+            # block — re-persist the same plan so multi-branch
+            # consumers (MAD's ~6 arms) don't silently recompute the
+            # rollup per branch
+            return cached.persist()
+        except Exception:  # noqa: BLE001 — stale JVM state: rebuild
+            del _DAILY_CACHE[key]
     ev = t(spark, sf_dir, "events")
     df = ev.groupBy(
         "event_type",

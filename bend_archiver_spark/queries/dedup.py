@@ -594,8 +594,6 @@ def dedup_source_priority_keep_one(
     struct(source, doc_id) folded into the same component rollup that
     computes size and source spread — no second pass, no join-back;
     the only join is components-to-metadata, co-keyed on doc_id."""
-    from pyspark.sql import Window as _W  # noqa: F401 (parity w/ module)
-
     from ..operators.graph import connected_components
 
     d = t(spark, sf_dir, "documents")

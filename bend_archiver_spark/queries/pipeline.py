@@ -9,7 +9,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.textops import quality_scores
 from .base import hash64_expr, hash64_sql, register, t
 
 _MIN_WORDS = 30

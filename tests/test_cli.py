@@ -139,3 +139,25 @@ class TestCliCancellation:
         assert "cancelled" in capsys.readouterr().err
         # handler cleanup ran: default disposition restored
         assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+    def test_signal_during_spark_launch_exits_cancel_path(
+        self, monkeypatch, tmp_path, capsys
+    ):
+        """A signal landing during the multi-second Spark session
+        launch must still exit through the cancellation path
+        (128+signum, handlers restored, no uncaught traceback) —
+        handlers are installed inside the try, before get_spark."""
+        import signal
+
+        def launching(*a, **k):
+            cancel.request_cancel(signal.SIGTERM)
+            raise cancel.JobCancelled("received signal 15")
+
+        monkeypatch.setattr(cli, "get_spark", launching)
+        conf = _write_conf(tmp_path, tmp_path / "out_launch")
+        rc = cli.main(
+            ["--conf", conf, "--source-path", "whatever.parquet"]
+        )
+        assert rc == 128 + signal.SIGTERM
+        assert "cancelled" in capsys.readouterr().err
+        assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL

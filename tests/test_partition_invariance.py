@@ -117,16 +117,28 @@ def _rows(spark, sf_dir, name):
     return sorted(out, key=repr)
 
 
+def _drop_caches(spark):
+    """Both the Spark block cache AND the analytics7 daily-rollup memo
+    — the memo hands back the same (re-persisting) DataFrame, so
+    without clearing it the second width would reread blocks (or a
+    physical plan) materialized at the first width and the comparison
+    would be vacuous for exactly the persisted stages."""
+    from bend_archiver_spark.queries.analytics7 import _DAILY_CACHE
+
+    spark.catalog.clearCache()
+    _DAILY_CACHE.clear()
+
+
 @pytest.mark.parametrize("name", QUERIES)
 def test_result_invariant_under_partitioning(spark, sf_dir, name):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
         a = _rows(spark, sf_dir, name)
-        spark.catalog.clearCache()
+        _drop_caches(spark)
         spark.conf.set("spark.sql.shuffle.partitions", "17")
         b = _rows(spark, sf_dir, name)
         assert a == b
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
-        spark.catalog.clearCache()
+        _drop_caches(spark)

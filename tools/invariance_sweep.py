@@ -43,11 +43,24 @@ def main() -> int:
     from bend_archiver_spark.session import get_spark
 
     spark = get_spark("invariance_sweep")
+
+    def _drop_caches() -> None:
+        # BETWEEN the two widths, not just between queries: a persist
+        # barrier (minhash shingles, BM25 postings) or the analytics7
+        # daily-rollup memo would otherwise serve width-w1 blocks to
+        # the w2 run and make the comparison vacuous for exactly the
+        # stages this sweep exists to re-execute.
+        from bend_archiver_spark.queries.analytics7 import _DAILY_CACHE
+
+        spark.catalog.clearCache()
+        _DAILY_CACHE.clear()
+
     bad, err = [], []
     for i, name in enumerate(REGISTRY, 1):
         try:
             spark.conf.set("spark.sql.shuffle.partitions", str(w1))
             a = rows_of(spark, args.sf_dir, name)
+            _drop_caches()
             spark.conf.set("spark.sql.shuffle.partitions", str(w2))
             b = rows_of(spark, args.sf_dir, name)
         except Exception as exc:  # noqa: BLE001 — sweep must finish
@@ -56,7 +69,7 @@ def main() -> int:
                   file=sys.stderr)
             continue
         finally:
-            spark.catalog.clearCache()
+            _drop_caches()
         if a == b:
             print(f"OK    {name} ({len(a)} rows)  [{i}/{len(REGISTRY)}]")
         else:

@@ -179,7 +179,11 @@ spark.stop()
 # archive_sync is the bench's end-to-end job (extract -> range-
 # partitioned write -> verify), not a registry query; same shape as
 # bench.py with the partition count scaling naturally through the
-# fixed 40k batch size over the replica-offset key range.
+# fixed 40k batch size over the replica-offset key range. Best-of-2
+# like the query timer (fresh target per iteration — the job appends,
+# so reusing one target would double rows and fail verify); targets
+# are removed in a finally so a failed run never leaks a parquet copy
+# of the scaled table into the temp filesystem.
 _ARCHIVE_TIMER = """
 import shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
@@ -188,25 +192,29 @@ from bend_archiver_spark.job import FileArchiveJob
 from bend_archiver_spark.session import get_spark
 from bend_archiver_spark.tables import load_table
 spark = get_spark("rehearsal")
-target = tempfile.mkdtemp(prefix="rehearsal_archive_")
-shutil.rmtree(target, ignore_errors=True)
-cfg = Config(
-    source_table="lineitem",
-    source_split_key="l_orderkey",
-    source_where_condition="l_quantity > 0",
-    batch_size=40000,
-    max_thread=5,
-    target_path=target,
-    target_format="parquet",
-)
 li = load_table(spark, {sf_dir!r}, "lineitem")
-t0 = time.monotonic()
-report = FileArchiveJob(spark, cfg, li).run(check_idempotency=False)
-sec = time.monotonic() - t0
-assert report.verify.is_correct, report.verify
+best = float("inf")
+for _ in range(2):
+    target = tempfile.mkdtemp(prefix="rehearsal_archive_")
+    shutil.rmtree(target, ignore_errors=True)
+    cfg = Config(
+        source_table="lineitem",
+        source_split_key="l_orderkey",
+        source_where_condition="l_quantity > 0",
+        batch_size=40000,
+        max_thread=5,
+        target_path=target,
+        target_format="parquet",
+    )
+    try:
+        t0 = time.monotonic()
+        report = FileArchiveJob(spark, cfg, li).run(check_idempotency=False)
+        best = min(best, time.monotonic() - t0)
+        assert report.verify.is_correct, report.verify
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
 print("PARTS", report.num_partitions)
-print("RESULT", sec)
-shutil.rmtree(target, ignore_errors=True)
+print("RESULT", best)
 spark.stop()
 """
 
