@@ -37,8 +37,7 @@ def force(df) -> int:
 # gate below flags any headline query slower than 2x its anchor in the
 # JSON line so a perf regression fails loudly in the recorded artifact
 # instead of waiting for a human to diff BENCH_r0N files (the round-2/3
-# minhash regression survived two rounds that way). Queries added after
-# r01 have no anchor and are skipped.
+# minhash regression survived two rounds that way).
 _R01_ANCHOR = {
     "split_key_buckets": 0.432,
     "split_time_buckets": 0.479,
@@ -54,6 +53,24 @@ _R01_ANCHOR = {
     "pipeline_curate_documents": 0.5253,
     "archive_sync": 3.7274,
 }
+
+# Headline queries promoted after r01 gate against their round-7
+# idle-machine MEDIANS (the r01 run predates them). Same 2x factor;
+# `anchored_total` stays the r01-only subset so the round-over-round
+# baseline comparison is unaffected.
+_R07_ANCHOR = {
+    "dedup_cross_corpus_minhash": 0.5618,
+    "pipeline_curate_v2": 1.0511,
+    "pipeline_cdc_chunks": 0.4129,
+    "graph_pagerank_event_types": 0.4114,
+    "graph_triangle_count": 0.1855,
+    "agg_histogram_quantile": 0.4093,
+    "profile_ks_drift": 0.1113,
+    "verify_block_fingerprints": 0.9192,
+    "agg_gini_revenue": 0.4055,
+}
+
+_GATE_ANCHOR = {**_R01_ANCHOR, **_R07_ANCHOR}
 _REGRESSION_FACTOR = 2.0
 
 
@@ -97,12 +114,12 @@ def find_regressions(
         name: {
             "sec": timings[name],
             "median_sec": round(gate_value[name], 4),
-            "anchor_sec": _R01_ANCHOR[name],
-            "ratio": round(gate_value[name] / _R01_ANCHOR[name], 2),
+            "anchor_sec": _GATE_ANCHOR[name],
+            "ratio": round(gate_value[name] / _GATE_ANCHOR[name], 2),
         }
         for name in timings
-        if name in _R01_ANCHOR
-        and gate_value[name] > _REGRESSION_FACTOR * _R01_ANCHOR[name]
+        if name in _GATE_ANCHOR
+        and gate_value[name] > _REGRESSION_FACTOR * _GATE_ANCHOR[name]
     }
 
 

@@ -61,3 +61,18 @@ def test_gate_uses_median_not_best():
     # one bad iteration, median fine: green
     stats = {"tpch_q1": bench._sample_stats([anchor, anchor, anchor * 5])}
     assert bench.find_regressions(timings, 0.1, stats) == {}
+
+
+def test_every_headline_query_is_anchored():
+    """Every headline query must gate against SOME anchor (r01 or the
+    r07 medians) — an unanchored headliner can regress silently."""
+    headline = {n for n, s in REGISTRY.items() if s.headline}
+    assert headline <= set(bench._GATE_ANCHOR)
+
+
+def test_r07_anchor_gates_too():
+    t = dict(bench._R01_ANCHOR)
+    t["pipeline_curate_v2"] = bench._R07_ANCHOR["pipeline_curate_v2"] * 3
+    out = bench.find_regressions(t, 0.1)
+    assert set(out) == {"pipeline_curate_v2"}
+    assert out["pipeline_curate_v2"]["ratio"] == 3.0
