@@ -67,15 +67,29 @@ def raise_if_cancelled(phase: str) -> None:
 
 
 def install_signal_handlers(signals: tuple[int, ...] = ()) -> dict:
-    """Install SIGTERM/SIGINT handlers that trip the token and raise
-    ``JobCancelled`` in the main thread. Returns the previous handlers
-    so callers can restore them (``restore_signal_handlers``)."""
-    sigs = signals or (signal.SIGTERM, signal.SIGINT)
+    """Install SIGQUIT/SIGTERM/SIGINT handlers that trip the token and
+    raise ``JobCancelled`` in the main thread. Returns the previous
+    handlers so callers can restore them (``restore_signal_handlers``).
+
+    SIGQUIT is included for parity with the reference's signal set
+    (cmd/main.go:29-35: SIGQUIT + SIGTERM); SIGINT is added on top so
+    an interactive Ctrl-C gets the same graceful destructive-last stop.
+
+    Only the FIRST signal raises; any later signal (e.g. a second
+    Ctrl-C landing while the CLI is already inside its
+    ``except JobCancelled`` exit path) just re-trips the token, so the
+    cancellation exit is idempotent — a repeat signal can never escape
+    ``main()`` as an uncaught traceback, and the phase-boundary
+    ``raise_if_cancelled`` checks still stop the job if the first
+    raise was swallowed inside a blocking JVM call."""
+    sigs = signals or (signal.SIGQUIT, signal.SIGTERM, signal.SIGINT)
     previous: dict = {}
 
     def _handler(signum, frame):  # noqa: ARG001
+        first = not _EVENT.is_set()
         request_cancel(signum)
-        raise JobCancelled(f"received signal {signum}")
+        if first:
+            raise JobCancelled(f"received signal {signum}")
 
     for s in sigs:
         previous[s] = signal.signal(s, _handler)

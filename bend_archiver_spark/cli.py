@@ -208,7 +208,13 @@ def main(argv: list[str] | None = None) -> int:
         if prev_handlers is not None:
             restore_signal_handlers(prev_handlers)
         if spark is not None:
-            spark.stop()
+            try:
+                spark.stop()
+            except Exception as e:  # noqa: BLE001
+                # a signal that interrupted a py4j call can leave the
+                # gateway broken; a failed stop must not replace the
+                # 128+signum exit code already computed above
+                print(f"warning: spark.stop() failed: {e}", file=sys.stderr)
     end = time.time()
     print(f"end time: {time.strftime('%Y-%m-%d %H:%M:%S', time.localtime(end))}")
     print(f"total time: {end - start:.1f}s")

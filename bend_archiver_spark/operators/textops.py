@@ -36,8 +36,10 @@ def quality_flag(
     composed pipeline can gate on quality INSIDE its own document scan
     instead of joining against :func:`quality_scores`'s corpus-sized
     output (a corpus-corpus shuffle for data one projection derives).
-    MUST stay rule-identical to quality_scores — change both
-    together."""
+    This is the single source of truth for the rule —
+    :func:`quality_scores` builds its ``passes_quality`` column from
+    this expression, so the two cannot drift (pinned by
+    tests/test_operators.py)."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     stops = F.filter(words, lambda w: w.isin(*stopwords))
     n_words = F.size(words).cast("bigint")
@@ -59,7 +61,10 @@ def quality_scores(
     min_stopword_ratio: float = 0.01,
 ) -> DataFrame:
     """Gopher/C4-style heuristic quality gate: length bounds + stopword
-    ratio, all JVM-side."""
+    ratio, all JVM-side. The pass/fail column IS the
+    :func:`quality_flag` expression (evaluated while the text column
+    is still in scope), so the scored table and the inline gate can
+    never disagree on the rule."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     stops = F.filter(words, lambda w: w.isin(*stopwords))
     scored = df.select(
@@ -67,6 +72,13 @@ def quality_scores(
         F.size(words).cast("bigint").alias("n_words"),
         F.size(stops).cast("bigint").alias("n_stop"),
         F.length(text_col).cast("bigint").alias("n_chars"),
+        quality_flag(
+            text_col,
+            stopwords=stopwords,
+            min_words=min_words,
+            max_words=max_words,
+            min_stopword_ratio=min_stopword_ratio,
+        ).alias("passes_quality"),
     )
     ratio = F.col("n_stop").cast("double") / F.col("n_words")
     return scored.select(
@@ -75,9 +87,5 @@ def quality_scores(
         "n_stop",
         "n_chars",
         ratio.alias("stopword_ratio"),
-        (
-            (F.col("n_words") >= min_words)
-            & (F.col("n_words") <= max_words)
-            & (ratio >= min_stopword_ratio)
-        ).alias("passes_quality"),
+        "passes_quality",
     )

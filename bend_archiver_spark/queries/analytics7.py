@@ -57,6 +57,23 @@ _DAILY_SQL = """
 _DAILY_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def clear_daily_cache() -> None:
+    """Public invalidation hook for the memoized daily rollup.
+
+    The memo assumes a data directory's contents never change within a
+    session; any caller that rewrites data under the same path (or
+    that needs cold-cache timings, like the partition-invariance
+    sweep) must call this instead of reaching into the private dict.
+    Unpersists live entries before dropping them so the executor
+    storage memory is actually released, not just the references."""
+    for df in _DAILY_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — stale JVM state: drop ref
+            pass
+    _DAILY_CACHE.clear()
+
+
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the MAD query references this rollup from ~6 join
     # arms (med/dev/mad branches) and EWMA/xcorr from 2 each —

@@ -260,7 +260,29 @@ def dedup_exact_substring_removal(
         )
         .select("doc_id", "s", hash64_expr(F.col("g_str")).alias("g"))
     )
-    key = F.col("doc_id") * _KEY_SHIFT + F.col("s")
+    # runtime guard on the packing preconditions: the oracle packs the
+    # same way, so a silent overflow (doc over 2^20 tokens, or a
+    # doc_id at/above 2^43 making doc_id*2^20+s inexact in int64)
+    # would corrupt BOTH sides identically and the hash check could
+    # never catch it. The guard lives INSIDE the key expression (not a
+    # detached assert_true column) so column pruning cannot drop it.
+    key = F.when(
+        (F.col("s") < _KEY_SHIFT) & (F.col("doc_id") < (1 << 43)),
+        F.col("doc_id") * _KEY_SHIFT + F.col("s"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "dedup_exact_substring_removal: (doc_id, start) "
+                    "packing overflow — need start < 2^20 and "
+                    "doc_id < 2^43, got doc_id="
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(" start="),
+                F.col("s").cast("string"),
+            )
+        )
+    )
     gstat = (
         grams.groupBy("g")
         .agg(

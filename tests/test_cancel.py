@@ -50,3 +50,35 @@ class TestCancelToken:
         assert signal.getsignal(signal.SIGTERM) is not before
         cancel.restore_signal_handlers(prev)
         assert signal.getsignal(signal.SIGTERM) is before
+
+    def test_second_signal_does_not_raise(self):
+        """A repeat signal landing while the first cancellation is
+        already being handled (e.g. a second Ctrl-C inside the CLI's
+        except-JobCancelled block) must only re-trip the token, never
+        escape as a second async raise — otherwise the 128+signum
+        exit path is replaced by an uncaught traceback."""
+        prev = cancel.install_signal_handlers()
+        try:
+            with pytest.raises(cancel.JobCancelled):
+                os.kill(os.getpid(), signal.SIGTERM)
+            # token tripped; the follow-up signal must be a no-raise
+            os.kill(os.getpid(), signal.SIGINT)
+            assert cancel.cancel_requested()
+            assert cancel.last_signal() == signal.SIGINT
+        finally:
+            cancel.restore_signal_handlers(prev)
+
+    def test_sigquit_installed_by_default(self):
+        """Reference parity: cmd/main.go:29-35 cancels on SIGQUIT and
+        SIGTERM. SIGQUIT must get the graceful handler, not the
+        core-dump default."""
+        before = signal.getsignal(signal.SIGQUIT)
+        prev = cancel.install_signal_handlers()
+        try:
+            assert signal.getsignal(signal.SIGQUIT) is not before
+            with pytest.raises(cancel.JobCancelled):
+                os.kill(os.getpid(), signal.SIGQUIT)
+            assert cancel.last_signal() == signal.SIGQUIT
+        finally:
+            cancel.restore_signal_handlers(prev)
+        assert signal.getsignal(signal.SIGQUIT) is before

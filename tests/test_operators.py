@@ -182,6 +182,31 @@ class TestTextOps:
         n_loose = loose.filter("passes_quality").count()
         assert n_strict < n_loose
 
+    def test_quality_flag_matches_quality_scores(self, spark, sf_dir):
+        """The inline gate and the scored table must agree doc-by-doc
+        — quality_scores builds passes_quality FROM quality_flag, and
+        this pins the contract at non-default thresholds so a future
+        reintroduction of a second rule copy fails here."""
+        from bend_archiver_spark.operators.textops import quality_flag
+
+        docs = load_table(spark, sf_dir, "documents")
+        kwargs = dict(min_words=15, max_words=500, min_stopword_ratio=0.02)
+        via_flag = sorted(
+            r.doc_id
+            for r in docs.filter(quality_flag("text", **kwargs))
+            .select("doc_id")
+            .collect()
+        )
+        via_scores = sorted(
+            r.doc_id
+            for r in quality_scores(docs, "doc_id", "text", **kwargs)
+            .filter("passes_quality")
+            .select("doc_id")
+            .collect()
+        )
+        assert via_flag == via_scores
+        assert via_flag  # non-vacuous: some docs pass at these settings
+
 
 class TestSimhashBanded:
     def test_banded_equals_direct(self, spark, sf_dir):

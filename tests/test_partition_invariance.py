@@ -123,10 +123,10 @@ def _drop_caches(spark):
     without clearing it the second width would reread blocks (or a
     physical plan) materialized at the first width and the comparison
     would be vacuous for exactly the persisted stages."""
-    from bend_archiver_spark.queries.analytics7 import _DAILY_CACHE
+    from bend_archiver_spark.queries.analytics7 import clear_daily_cache
 
     spark.catalog.clearCache()
-    _DAILY_CACHE.clear()
+    clear_daily_cache()
 
 
 @pytest.mark.parametrize("name", QUERIES)

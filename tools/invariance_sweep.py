@@ -50,10 +50,10 @@ def main() -> int:
         # daily-rollup memo would otherwise serve width-w1 blocks to
         # the w2 run and make the comparison vacuous for exactly the
         # stages this sweep exists to re-execute.
-        from bend_archiver_spark.queries.analytics7 import _DAILY_CACHE
+        from bend_archiver_spark.queries.analytics7 import clear_daily_cache
 
         spark.catalog.clearCache()
-        _DAILY_CACHE.clear()
+        clear_daily_cache()
 
     bad, err = [], []
     for i, name in enumerate(REGISTRY, 1):
