@@ -82,8 +82,12 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_mktsegment").alias("segment"),
     )
+    # customer is corpus-proportional: no broadcast hint (stats elect
+    # broadcast at test scale; at 100x this degrades to a shuffle join
+    # instead of dying on the size limit). Found by the round-8
+    # structural plan-walk guard — the alias `c` slipped the name ban.
     spend = (
-        o.join(F.broadcast(c), "o_custkey")
+        o.join(c, "o_custkey")
         .groupBy("segment", "o_custkey")
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("x")

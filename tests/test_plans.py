@@ -994,6 +994,248 @@ class TestUnforcedBroadcasts:
         assert "LeftSemi" in plan
 
 
+class TestStructuralBroadcastGuard:
+    """Round 8: the suite-wide STRUCTURAL complement to the name-regex
+    ban above. The regex guards source text, so a corpus table aliased
+    to an unlisted name slips it; this walks the OPTIMIZED LOGICAL
+    PLAN of every registered query instead. A broadcast HINT survives
+    optimization as the Join node's JoinHint, which is exactly the
+    forced-vs-elected distinction the 100 TB contract cares about:
+    stats-ELECTED broadcasts (no hint) degrade gracefully to shuffle
+    joins at scale, while a FORCED hint dies on the 8 GB broadcast
+    limit. Rule: every hinted-broadcast join side must bottom out in a
+    bounded relation — a fixed dimension (nation/region), a local /
+    one-row relation, an Aggregate, or a Limit — before reaching a
+    corpus-proportional FileScan.
+
+    Known residual (covered by the regex ban + per-query plan pins,
+    not this walk): an Aggregate GROUPED BY a corpus-cardinality key
+    (for example per-doc stats) is corpus-sized but counts as bounding
+    here, because grouping-key cardinality is not decidable from plan
+    structure alone. Defense stays layered.
+
+    First run of this walk found one REAL forced corpus broadcast the
+    name regex had missed for seven rounds (agg_gini_revenue's full
+    customer table, aliased `c`) — fixed in round 8."""
+
+    # Queries whose hinted side IS corpus-derived but is bounded by a
+    # CONSTANT-valued filter the structural walk cannot see (a probe /
+    # benchmark / codebook subset whose cardinality is fixed at any
+    # corpus scale). Each entry pins the exact offender signature so a
+    # new hinted join in these queries still fails here.
+    ALLOWED_CONSTANT_BOUNDED = {
+        # decontamination broadcasts the BENCHMARK side's bands — the
+        # benchmark set (doc_id < 10) is fixed while the corpus scales
+        "dedup_cross_corpus_minhash": ["right:['documents']"],
+        # ANN probe sets: query ids bounded by `vec_id < N_QUERIES`;
+        # centroid/codebook sides bounded by `vec_id < K`. Broadcasting
+        # the query set against the corpus IS the scale design for
+        # similarity search (the query side is small by definition).
+        "ann_topk_bruteforce": ["left:['embeddings']", "right:['embeddings']"],
+        "ann_lsh_bucketed": [
+            "left:['embeddings']",
+            "right:['embeddings']",
+            "left:['embeddings']",
+        ],
+        "ann_ivf_topk": ["left:['embeddings']", "right:['embeddings']"],
+        "ann_topk_diversified": [
+            "left:['embeddings']",
+            "right:['embeddings']",
+        ],
+        "ann_topk_incremental": [
+            "left:['embeddings']",
+            "right:['embeddings']",
+            "left:['embeddings']",
+            "right:['embeddings']",
+        ],
+        "ann_recall_curve": [
+            "left:['embeddings']",
+            "right:['embeddings']",
+            "left:['embeddings']",
+        ],
+        "ann_ivf_fixed_codebook": [
+            "left:['embeddings']",
+            "right:['embeddings']",
+        ],
+        "embedding_knn_label_accuracy": [
+            "left:['embeddings']",
+            "right:['embeddings']",
+        ],
+        # K fixed centroids (vec_id < K) exploded to component rows
+        "embedding_label_stats": ["right:['embeddings']"],
+        # histogram pairs: fixed probe rows against the corpus
+        "embedding_distance_histogram": ["left:['embeddings']"],
+    }
+
+    # scale-linear tables: force-broadcasting any of these is a bug
+    CORPUS_TABLES = frozenset(
+        {
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "documents",
+            "embeddings",
+        }
+    )
+    _BOUNDING_LOGICAL = frozenset({"Aggregate", "GlobalLimit", "LocalLimit"})
+    _BOUNDED_LEAVES = frozenset(
+        {"LocalRelation", "OneRowRelation", "Range", "LogicalRDD"}
+    )
+    _BOUNDING_PHYSICAL = frozenset(
+        {
+            "HashAggregateExec",
+            "ObjectHashAggregateExec",
+            "SortAggregateExec",
+            "GlobalLimitExec",
+            "LocalLimitExec",
+            "CollectLimitExec",
+            "TakeOrderedAndProjectExec",
+        }
+    )
+
+    @classmethod
+    def _scan_table(cls, node) -> str | None:
+        """Table name for a relation-ish node, from its first root
+        path (all registry inputs are single-file parquet tables)."""
+        try:
+            path = (
+                node.relation().location().rootPaths().apply(0).toString()
+            )
+        except Exception:  # noqa: BLE001 — non-file relation
+            return None
+        return path.rsplit("/", 1)[-1].removesuffix(".parquet")
+
+    @classmethod
+    def _unbounded_corpus_leaves(cls, node) -> list[str]:
+        """Corpus tables reachable from *node* (logical) without
+        crossing a bounding operator."""
+        name = node.getClass().getSimpleName()
+        if name in cls._BOUNDING_LOGICAL:
+            return []
+        if name.startswith("LogicalRelation"):
+            table = cls._scan_table(node)
+            return [table] if table in cls.CORPUS_TABLES else []
+        if name == "InMemoryRelation":
+            return cls._unbounded_corpus_leaves_physical(node.cachedPlan())
+        if name in cls._BOUNDED_LEAVES:
+            return []
+        out: list[str] = []
+        ch = node.children()
+        for i in range(ch.size()):
+            out.extend(cls._unbounded_corpus_leaves(ch.apply(i)))
+        return out
+
+    @classmethod
+    def _unbounded_corpus_leaves_physical(cls, node) -> list[str]:
+        """Same walk over a PHYSICAL subtree (cached-plan interiors)."""
+        name = node.getClass().getSimpleName()
+        if name in cls._BOUNDING_PHYSICAL:
+            return []
+        if name == "FileSourceScanExec":
+            table = cls._scan_table(node)
+            return [table] if table in cls.CORPUS_TABLES else []
+        if name == "InMemoryTableScanExec":
+            return cls._unbounded_corpus_leaves_physical(
+                node.relation().cachedPlan()
+            )
+        out: list[str] = []
+        ch = node.children()
+        for i in range(ch.size()):
+            out.extend(cls._unbounded_corpus_leaves_physical(ch.apply(i)))
+        return out
+
+    @classmethod
+    def _forced_corpus_broadcasts(cls, plan) -> list[str]:
+        """(side, tables) strings for every broadcast-HINTED join side
+        in *plan* whose subtree reaches a corpus scan unbounded."""
+        bad: list[str] = []
+
+        def walk(node):
+            if node.getClass().getSimpleName() == "Join":
+                hint = node.hint()
+                for side, opt, sub in (
+                    ("left", hint.leftHint(), node.left()),
+                    ("right", hint.rightHint(), node.right()),
+                ):
+                    if not opt.isDefined():
+                        continue
+                    strategy = opt.get().strategy()
+                    if (
+                        strategy.isDefined()
+                        and "broadcast" in strategy.get().toString().lower()
+                    ):
+                        tables = cls._unbounded_corpus_leaves(sub)
+                        if tables:
+                            bad.append(f"{side}:{sorted(set(tables))}")
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(plan)
+        subs = plan.subqueries()
+        for i in range(subs.size()):
+            walk(subs.apply(i))
+        return bad
+
+    def test_detector_catches_synthetic_violation(self, spark, sf_dir):
+        """Self-test: a deliberately forced corpus broadcast must trip
+        the walk (guards against the detector rotting into a no-op if
+        Spark renames plan nodes), and the elected/bounded shapes must
+        not."""
+        from pyspark.sql import functions as F
+
+        from bend_archiver_spark.tables import load_table
+
+        cust = load_table(spark, sf_dir, "customer")
+        orders = load_table(spark, sf_dir, "orders")
+        nation = load_table(spark, sf_dir, "nation")
+
+        def offenders(df):
+            return self._forced_corpus_broadcasts(
+                df._jdf.queryExecution().optimizedPlan()
+            )
+
+        forced = orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        assert offenders(forced) == ["right:['customer']"]
+        elected = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        assert offenders(elected) == []
+        dim = cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        assert offenders(dim) == []
+        agged = orders.join(
+            F.broadcast(orders.groupBy("o_orderstatus").count()),
+            "o_orderstatus",
+        )
+        assert offenders(agged) == []
+
+    def test_no_registered_query_forces_corpus_broadcast(
+        self, spark, sf_dir
+    ):
+        """Suite-wide walk: no forced corpus-proportional broadcast
+        hints across every registered plan (subqueries included)
+        beyond the enumerated constant-bounded probe/benchmark sides.
+        Builds every logical plan, executes nothing. ~75s."""
+        offenders = {}
+        for name in REGISTRY:
+            df = REGISTRY[name].spark(spark, sf_dir)
+            bad = self._forced_corpus_broadcasts(
+                df._jdf.queryExecution().optimizedPlan()
+            )
+            if bad:
+                offenders[name] = bad
+        assert offenders == self.ALLOWED_CONSTANT_BOUNDED, (
+            "forced-broadcast surface changed; a NEW entry needs a "
+            "constant-cardinality boundedness justification (or drop "
+            "the hint and let stats elect)"
+        )
+
+
 class TestBoundedWindowAudit:
     """Every ``Window.orderBy(...)`` WITHOUT a partitionBy in the
     package moves its whole input through a SinglePartition exchange —
