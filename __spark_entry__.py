@@ -218,14 +218,71 @@ _CHANGED_R07 = frozenset({
     "text_tf_cosine_pairs",
 })
 
+# Queries with a driver-green CORRECTNESS_r07 AND _r08 row (the two
+# rounds checked the identical 50-query set, 50/50 hash_match both
+# times: every _CHANGED_R07 member, the four round-7 additions, and
+# 26 stalest r01-era re-confirmations).
+_GREEN_R08 = frozenset({
+    "array_funcs_embeddings", "asof_join_purchase_session",
+    "datetime_funcs_orders", "dedup_exact_substring_removal",
+    "dedup_source_priority_keep_one", "distinct_flag_status",
+    "embedding_centroid_distances", "embedding_knn_label_accuracy",
+    "embedding_silhouette_centroid", "join_anti_customers_without_orders",
+    "join_outer_order_fill_rate", "join_semi_customers_with_orders",
+    "json_funcs_events", "math_funcs_orders", "orders_basket_affinity",
+    "pareto_frontier_parts", "pipeline_curate_documents",
+    "pipeline_curate_near_dedup", "pipeline_curate_v2",
+    "pipeline_leakage_safe_split", "pivot_status_by_segment",
+    "rollup_lineitem_status", "setops_except_customers",
+    "setops_repeat_customers", "sort_limit_topk_orders",
+    "string_funcs_parts", "text_bm25_search", "text_gopher_quality_rules",
+    "text_tf_cosine_pairs", "tpch_q10_returned_topk",
+    "tpch_q11_important_parts", "tpch_q14_promo_ratio",
+    "tpch_q15_top_supplier", "tpch_q16_part_suppliers",
+    "tpch_q17_small_quantity", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive", "tpch_q20_excess_suppliers",
+    "tpch_q21_sole_return_supplier", "tpch_q2_min_cost_supplier",
+    "tpch_q3_topk", "tpch_q4_order_priority", "tpch_q5_region_revenue",
+    "tpch_q6_revenue", "tpch_q7_nation_trade", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "verify_quality_constraints",
+    "window_running_revenue", "window_top_orders_per_customer",
+})
+
+# Queries whose plan or expression changed in round 8 — they must
+# re-earn a driver row, so they lead the r09 emission:
+#  * agg_gini_revenue: forced corpus broadcast of the customer table
+#    (alias `c`) removed after the structural guard flagged it
+#    (queries/analytics8.py) — physical plan changed.
+#  * text_quality_scores: passes_quality re-derived from quality_flag
+#    (single-source-of-truth refactor) — expression-equivalent and
+#    equivalence-pinned, re-emits out of caution (last row: r03).
+_CHANGED_R08 = frozenset({
+    "agg_gini_revenue", "text_quality_scores",
+})
+
+# Changed in round 9: the predicate-level tightening of the structural
+# broadcast guard exposed embedding_label_stats force-broadcasting the
+# full per-vector (vec_id, label) projection (corpus-proportional);
+# the join was scan-fused away (label rides through explode_quantized)
+# — plan changed, re-earns its driver row.
+_CHANGED_R09 = frozenset({
+    "embedding_label_stats",
+})
+
 _CHECKED_GOOD = (
-    (_GREEN_R01 | _GREEN_R03 | _GREEN_R04 | _GREEN_R05 | _GREEN_R06)
-    - _CHANGED_R07
+    (
+        _GREEN_R01 | _GREEN_R03 | _GREEN_R04 | _GREEN_R05 | _GREEN_R06
+        | _GREEN_R08
+    )
+    - _CHANGED_R08
+    - _CHANGED_R09
 ) | _ROWS_ONLY_BY_DESIGN
 
 
 def _staleness_round(name: str) -> int:
     """Most recent round with a green driver row for *name* (0 = never)."""
+    if name in _GREEN_R08:
+        return 8
     if name in _GREEN_R06:
         return 6
     if name in _GREEN_R05:

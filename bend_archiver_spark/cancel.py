@@ -27,6 +27,12 @@ __all__ = [
 
 _EVENT = threading.Event()
 _SIGNUM: int | None = None
+# Tracks whether a DELIVERED SIGNAL has already raised, separately from
+# the token: a programmatic request_cancel() (another thread / library
+# caller) sets _EVENT but must not eat the first real signal's raise —
+# otherwise the job would only stop at the next raise_if_cancelled
+# boundary, potentially much later inside a long JVM call.
+_SIGNAL_RAISED = False
 
 
 class JobCancelled(RuntimeError):
@@ -34,7 +40,12 @@ class JobCancelled(RuntimeError):
 
 
 def request_cancel(signum: int | None = None) -> None:
-    """Trip the token. Safe from signal handlers and any thread."""
+    """Trip the token. Safe from signal handlers and any thread.
+
+    A programmatic trip (no signal) only sets the flag; it does NOT
+    consume the installed handlers' first-signal raise — a real
+    SIGTERM/SIGINT arriving later still interrupts the main thread
+    immediately rather than waiting for the next phase boundary."""
     global _SIGNUM
     if signum is not None:
         _SIGNUM = signum
@@ -51,8 +62,9 @@ def last_signal() -> int | None:
 
 def reset() -> None:
     """Clear the token (tests / fresh CLI invocations)."""
-    global _SIGNUM
+    global _SIGNUM, _SIGNAL_RAISED
     _SIGNUM = None
+    _SIGNAL_RAISED = False
     _EVENT.clear()
 
 
@@ -75,18 +87,24 @@ def install_signal_handlers(signals: tuple[int, ...] = ()) -> dict:
     (cmd/main.go:29-35: SIGQUIT + SIGTERM); SIGINT is added on top so
     an interactive Ctrl-C gets the same graceful destructive-last stop.
 
-    Only the FIRST signal raises; any later signal (e.g. a second
-    Ctrl-C landing while the CLI is already inside its
+    Only the FIRST DELIVERED SIGNAL raises; any later signal (e.g. a
+    second Ctrl-C landing while the CLI is already inside its
     ``except JobCancelled`` exit path) just re-trips the token, so the
     cancellation exit is idempotent — a repeat signal can never escape
     ``main()`` as an uncaught traceback, and the phase-boundary
     ``raise_if_cancelled`` checks still stop the job if the first
-    raise was swallowed inside a blocking JVM call."""
+    raise was swallowed inside a blocking JVM call. First-ness is
+    tracked by a dedicated raised flag, NOT by the token: a prior
+    programmatic ``request_cancel()`` from another thread does not
+    consume the raise, so the first real signal always interrupts the
+    main thread immediately."""
     sigs = signals or (signal.SIGQUIT, signal.SIGTERM, signal.SIGINT)
     previous: dict = {}
 
     def _handler(signum, frame):  # noqa: ARG001
-        first = not _EVENT.is_set()
+        global _SIGNAL_RAISED
+        first = not _SIGNAL_RAISED
+        _SIGNAL_RAISED = True
         request_cancel(signum)
         if first:
             raise JobCancelled(f"received signal {signum}")

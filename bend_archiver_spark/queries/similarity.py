@@ -197,17 +197,22 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector statistics (count, mean squared norm, L2
     range) — the sanity profile before any ANN indexing job. All sums
-    exact int64; sqrt/division once per output row."""
+    exact int64; sqrt/division once per output row.
+
+    Scan-fused (round 9): ``label`` rides THROUGH the explode via
+    ``extra_cols`` so the per-vector norm stream never joins back to
+    its own source table — previously this force-broadcast the full
+    (vec_id, label) projection, which is corpus-proportional (one row
+    per vector) and dies on the 8 GB broadcast limit at 100 TB. Now:
+    one scan, two aggregations, zero joins."""
     emb = t(spark, sf_dir, "embeddings")
-    e = ops.explode_quantized(emb, "vec_id", "embedding")
-    norms = e.groupBy("vec_id").agg(
+    e = ops.explode_quantized(emb, "vec_id", "embedding", extra_cols=("label",))
+    norms = e.groupBy("vec_id", "label").agg(
         F.sum(F.col("xq") * F.col("xq")).alias("nrm")
     )
     scale2 = float(_QSCALE) * float(_QSCALE)
-    labels = emb.select("vec_id", "label")
     return (
-        norms.join(F.broadcast(labels), "vec_id")
-        .groupBy("label")
+        norms.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             (F.sum("nrm").cast("double") / (F.count(F.lit(1)) * F.lit(scale2))).alias(

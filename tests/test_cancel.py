@@ -68,6 +68,25 @@ class TestCancelToken:
         finally:
             cancel.restore_signal_handlers(prev)
 
+    def test_programmatic_cancel_does_not_eat_first_signal_raise(self):
+        """A programmatic request_cancel() from a library caller (or
+        another thread) sets the token but must NOT consume the
+        handlers' first-signal raise — the first real SIGTERM after it
+        still interrupts the main thread immediately instead of
+        deferring to the next raise_if_cancelled boundary (which could
+        be after a long blocking JVM call)."""
+        prev = cancel.install_signal_handlers()
+        try:
+            cancel.request_cancel()
+            assert cancel.cancel_requested()
+            with pytest.raises(cancel.JobCancelled):
+                os.kill(os.getpid(), signal.SIGTERM)
+            # second delivered signal remains a no-raise re-trip
+            os.kill(os.getpid(), signal.SIGINT)
+            assert cancel.last_signal() == signal.SIGINT
+        finally:
+            cancel.restore_signal_handlers(prev)
+
     def test_sigquit_installed_by_default(self):
         """Reference parity: cmd/main.go:29-35 cancels on SIGQUIT and
         SIGTERM. SIGQUIT must get the graceful handler, not the

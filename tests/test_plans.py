@@ -7,6 +7,8 @@ here (for example a lost pushdown after a refactor) is invisible to
 value-correctness tests but catastrophic at scale.
 """
 
+import re
+
 from bend_archiver_spark.queries import REGISTRY
 
 
@@ -1019,52 +1021,72 @@ class TestStructuralBroadcastGuard:
     customer table, aliased `c`) — fixed in round 8."""
 
     # Queries whose hinted side IS corpus-derived but is bounded by a
-    # CONSTANT-valued filter the structural walk cannot see (a probe /
-    # benchmark / codebook subset whose cardinality is fixed at any
-    # corpus scale). Each entry pins the exact offender signature so a
-    # new hinted join in these queries still fails here.
+    # CONSTANT-valued filter. Round 9: each signature now pins the
+    # BOUNDING PREDICATE itself (`table[attr < lit]`), extracted from
+    # the Filter nodes the walk crosses above the scan — so a future
+    # unbounded broadcast of the same table on the same side of the
+    # same query produces `table[]` and still fails, instead of hiding
+    # behind the probe's table-level allowance. Entries are compared
+    # as per-query sorted multisets (not walk-order lists), so a Spark
+    # upgrade that reorders join children can't produce a spurious
+    # diff.
+    #
+    # Tightening this found a SECOND real offender (after r08's gini):
+    # embedding_label_stats broadcast the full per-vector (vec_id,
+    # label) projection — corpus-proportional, signature came back
+    # `embeddings[]` with no bounding predicate, contradicting its old
+    # "K fixed centroids" justification. Fixed by scan-fusing the
+    # label through explode_quantized (zero joins remain).
     ALLOWED_CONSTANT_BOUNDED = {
         # decontamination broadcasts the BENCHMARK side's bands — the
         # benchmark set (doc_id < 10) is fixed while the corpus scales
-        "dedup_cross_corpus_minhash": ["right:['documents']"],
+        "dedup_cross_corpus_minhash": ["right:['documents[doc_id < 10]']"],
         # ANN probe sets: query ids bounded by `vec_id < N_QUERIES`;
         # centroid/codebook sides bounded by `vec_id < K`. Broadcasting
         # the query set against the corpus IS the scale design for
         # similarity search (the query side is small by definition).
-        "ann_topk_bruteforce": ["left:['embeddings']", "right:['embeddings']"],
+        "ann_topk_bruteforce": [
+            "left:['embeddings[vec_id < 10]']",
+            "right:['embeddings[vec_id < 10]']",
+        ],
         "ann_lsh_bucketed": [
-            "left:['embeddings']",
-            "right:['embeddings']",
-            "left:['embeddings']",
+            "left:['embeddings[vec_id < 10]']",
+            "left:['embeddings[vec_id < 10]']",
+            "right:['embeddings[vec_id < 10]']",
         ],
-        "ann_ivf_topk": ["left:['embeddings']", "right:['embeddings']"],
+        "ann_ivf_topk": [
+            "left:['embeddings[vec_id < 10]']",
+            "right:['embeddings[vec_id < 10]']",
+        ],
         "ann_topk_diversified": [
-            "left:['embeddings']",
-            "right:['embeddings']",
+            "left:['embeddings[vec_id < 10]']",
+            "right:['embeddings[vec_id < 10]']",
         ],
+        # incremental: base probe (vec_id < 10) plus the delta window
+        # (vec_id < 400 ∧ vec_id >= 390 — ten rows; the lower bound is
+        # not part of the signature, the upper alone proves constant
+        # cardinality)
         "ann_topk_incremental": [
-            "left:['embeddings']",
-            "right:['embeddings']",
-            "left:['embeddings']",
-            "right:['embeddings']",
+            "left:['embeddings[vec_id < 10, vec_id < 400]']",
+            "left:['embeddings[vec_id < 10]']",
+            "right:['embeddings[vec_id < 10, vec_id < 400]']",
+            "right:['embeddings[vec_id < 10]']",
         ],
         "ann_recall_curve": [
-            "left:['embeddings']",
-            "right:['embeddings']",
-            "left:['embeddings']",
+            "left:['embeddings[vec_id < 10]']",
+            "left:['embeddings[vec_id < 10]']",
+            "right:['embeddings[vec_id < 10]']",
         ],
         "ann_ivf_fixed_codebook": [
-            "left:['embeddings']",
-            "right:['embeddings']",
+            "left:['embeddings[vec_id < 10]']",
+            "right:['embeddings[vec_id < 10]']",
         ],
         "embedding_knn_label_accuracy": [
-            "left:['embeddings']",
-            "right:['embeddings']",
+            "left:['embeddings[vec_id < 100]']",
+            "right:['embeddings[vec_id < 100]']",
         ],
-        # K fixed centroids (vec_id < K) exploded to component rows
-        "embedding_label_stats": ["right:['embeddings']"],
         # histogram pairs: fixed probe rows against the corpus
-        "embedding_distance_histogram": ["left:['embeddings']"],
+        "embedding_distance_histogram": ["left:['embeddings[vec_id < 50]']"],
     }
 
     # scale-linear tables: force-broadcasting any of these is a bug
@@ -1108,49 +1130,88 @@ class TestStructuralBroadcastGuard:
             return None
         return path.rsplit("/", 1)[-1].removesuffix(".parquet")
 
+    # Constant comparison between a column and an integer literal —
+    # the shape of a fixed-cardinality probe bound (vec_id < 8). Expr
+    # IDs (#123) and casts vary between Spark versions, so the match
+    # targets `name#id OP literal` and is normalized to `name OP lit`.
+    _CONST_BOUND_RE = re.compile(r"(\w+)#\d+L?\)?\s*(<=?|=)\s*(\d+)")
+
     @classmethod
-    def _unbounded_corpus_leaves(cls, node) -> list[str]:
+    def _const_bounds(cls, condition) -> tuple[str, ...]:
+        """Normalized constant upper-bound comparisons in a Filter
+        condition (attr < N / attr <= N / attr = N, integer literal)."""
+        text = condition.toString()
+        return tuple(
+            f"{col} {op} {lit}"
+            for col, op, lit in cls._CONST_BOUND_RE.findall(text)
+        )
+
+    @classmethod
+    def _unbounded_corpus_leaves(cls, node, bounds=()) -> list[str]:
         """Corpus tables reachable from *node* (logical) without
-        crossing a bounding operator."""
+        crossing a bounding operator. Each leaf is reported as
+        ``table[pred, ...]`` where the preds are the constant-bound
+        filter comparisons crossed on the path — so an allowlist entry
+        pins WHICH predicate makes a probe side bounded, and a future
+        unhinted-filter broadcast of the same table on the same side
+        produces a different (empty-bracket) signature and still
+        fails."""
         name = node.getClass().getSimpleName()
         if name in cls._BOUNDING_LOGICAL:
             return []
+        if name == "Filter":
+            bounds = bounds + cls._const_bounds(node.condition())
         if name.startswith("LogicalRelation"):
             table = cls._scan_table(node)
-            return [table] if table in cls.CORPUS_TABLES else []
+            if table not in cls.CORPUS_TABLES:
+                return []
+            return [f"{table}[{', '.join(sorted(set(bounds)))}]"]
         if name == "InMemoryRelation":
-            return cls._unbounded_corpus_leaves_physical(node.cachedPlan())
+            return cls._unbounded_corpus_leaves_physical(
+                node.cachedPlan(), bounds
+            )
         if name in cls._BOUNDED_LEAVES:
             return []
         out: list[str] = []
         ch = node.children()
         for i in range(ch.size()):
-            out.extend(cls._unbounded_corpus_leaves(ch.apply(i)))
+            out.extend(cls._unbounded_corpus_leaves(ch.apply(i), bounds))
         return out
 
     @classmethod
-    def _unbounded_corpus_leaves_physical(cls, node) -> list[str]:
+    def _unbounded_corpus_leaves_physical(cls, node, bounds=()) -> list[str]:
         """Same walk over a PHYSICAL subtree (cached-plan interiors)."""
         name = node.getClass().getSimpleName()
         if name in cls._BOUNDING_PHYSICAL:
             return []
+        if name == "FilterExec":
+            bounds = bounds + cls._const_bounds(node.condition())
         if name == "FileSourceScanExec":
             table = cls._scan_table(node)
-            return [table] if table in cls.CORPUS_TABLES else []
+            if table not in cls.CORPUS_TABLES:
+                return []
+            return [f"{table}[{', '.join(sorted(set(bounds)))}]"]
         if name == "InMemoryTableScanExec":
             return cls._unbounded_corpus_leaves_physical(
-                node.relation().cachedPlan()
+                node.relation().cachedPlan(), bounds
             )
         out: list[str] = []
         ch = node.children()
         for i in range(ch.size()):
-            out.extend(cls._unbounded_corpus_leaves_physical(ch.apply(i)))
+            out.extend(
+                cls._unbounded_corpus_leaves_physical(ch.apply(i), bounds)
+            )
         return out
 
     @classmethod
     def _forced_corpus_broadcasts(cls, plan) -> list[str]:
-        """(side, tables) strings for every broadcast-HINTED join side
-        in *plan* whose subtree reaches a corpus scan unbounded."""
+        """(side, tables-with-bounds) strings for every broadcast-HINTED
+        join side in *plan* whose subtree reaches a corpus scan without
+        crossing a bounding operator. Covers subqueries at EVERY node
+        (``subqueriesAll``), not just the root — ``plan.subqueries()``
+        returns only subquery expressions attached to the root node's
+        own expressions, so a forced broadcast inside e.g. a
+        filter-level scalar subquery would evade a root-only walk."""
         bad: list[str] = []
 
         def walk(node):
@@ -1175,7 +1236,10 @@ class TestStructuralBroadcastGuard:
                 walk(ch.apply(i))
 
         walk(plan)
-        subs = plan.subqueries()
+        # subqueriesAll: every (nested) subquery plan anywhere in the
+        # tree — root-level subqueries() misses non-root attachment
+        # sites and subqueries-of-subqueries.
+        subs = plan.subqueriesAll()
         for i in range(subs.size()):
             walk(subs.apply(i))
         return bad
@@ -1201,7 +1265,7 @@ class TestStructuralBroadcastGuard:
         forced = orders.join(
             F.broadcast(cust), orders.o_custkey == cust.c_custkey
         )
-        assert offenders(forced) == ["right:['customer']"]
+        assert offenders(forced) == ["right:['customer[]']"]
         elected = orders.join(cust, orders.o_custkey == cust.c_custkey)
         assert offenders(elected) == []
         dim = cust.join(
@@ -1213,6 +1277,46 @@ class TestStructuralBroadcastGuard:
             "o_orderstatus",
         )
         assert offenders(agged) == []
+        # a constant-bounded probe carries its bounding predicate in
+        # the signature — and the UNBOUNDED broadcast of the same
+        # table on the same side does NOT, so an allowlist entry
+        # pinned to `customer[c_custkey < 5]` can never excuse a
+        # future full-table broadcast of customer on that side
+        probe = orders.join(
+            F.broadcast(cust.filter(cust.c_custkey < 5)),
+            orders.o_custkey == cust.c_custkey,
+        )
+        assert offenders(probe) == ["right:['customer[c_custkey < 5]']"]
+        assert offenders(probe) != offenders(forced)
+
+    def test_detector_sees_subquery_below_root(self, spark, sf_dir):
+        """ADVICE r08: plan.subqueries() returns only ROOT-attached
+        subquery expressions, so a forced corpus broadcast inside a
+        filter-level scalar subquery evaded the old walk. The walk now
+        uses subqueriesAll(); this pins a violation INSIDE a non-root
+        scalar subquery being caught."""
+        from bend_archiver_spark.tables import load_table
+
+        cust = load_table(spark, sf_dir, "customer")
+        orders = load_table(spark, sf_dir, "orders")
+        # scalar subquery containing a forced corpus broadcast,
+        # attached to a FILTER (non-root: the projection sits above it)
+        cust.createOrReplaceTempView("_sq_cust")
+        orders.createOrReplaceTempView("_sq_orders")
+        df = spark.sql(
+            """
+            SELECT o_orderkey FROM _sq_orders
+            WHERE o_totalprice > (
+              SELECT /*+ BROADCAST(c) */ avg(o_totalprice)
+              FROM _sq_orders o
+              JOIN _sq_cust c ON o.o_custkey = c.c_custkey
+            )
+            """
+        )
+        bad = self._forced_corpus_broadcasts(
+            df._jdf.queryExecution().optimizedPlan()
+        )
+        assert bad == ["right:['customer[]']"]
 
     def test_no_registered_query_forces_corpus_broadcast(
         self, spark, sf_dir
@@ -1228,11 +1332,19 @@ class TestStructuralBroadcastGuard:
                 df._jdf.queryExecution().optimizedPlan()
             )
             if bad:
-                offenders[name] = bad
-        assert offenders == self.ALLOWED_CONSTANT_BOUNDED, (
+                # sorted multiset per query: the pin tracks the SET of
+                # forced-broadcast sides+bounds, not optimizer walk
+                # order, so a Spark upgrade that reorders join
+                # children can't produce a spurious diff
+                offenders[name] = sorted(bad)
+        allowed = {
+            k: sorted(v) for k, v in self.ALLOWED_CONSTANT_BOUNDED.items()
+        }
+        assert offenders == allowed, (
             "forced-broadcast surface changed; a NEW entry needs a "
-            "constant-cardinality boundedness justification (or drop "
-            "the hint and let stats elect)"
+            "constant-cardinality boundedness justification WITH its "
+            "bounding predicate in the signature (or drop the hint "
+            "and let stats elect)"
         )
 
 
