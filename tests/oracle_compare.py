@@ -92,13 +92,17 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict:
     return res
 
 
-def run(names: list[str] | None = None, sf_dir: str | None = None) -> bool:
+def run(
+    names: list[str] | None = None,
+    sf_dir: str | None = None,
+    shuffle_partitions: int = 8,
+) -> bool:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bend_archiver_spark.queries import REGISTRY
     from bend_archiver_spark.session import get_spark
 
     sf_dir = sf_dir or os.environ.get("SF_DIR", "/root/testdata/sf0.001")
-    spark = get_spark("oracle_compare", shuffle_partitions=8)
+    spark = get_spark("oracle_compare", shuffle_partitions=shuffle_partitions)
     con = duck_con(sf_dir)
     selected = names or list(REGISTRY)
     ok = True

@@ -1,0 +1,275 @@
+#!/usr/bin/env python
+"""10x-scale CORRECTNESS sweep: the full rows+schema+value-hash oracle
+contract, at the SCALE.md rehearsal scale instead of sf0.1.
+
+SCALE.md measures *performance* at 1x/3x/10x; this tool closes the
+matching correctness gap — the determinism machinery (decimal-exact
+sums, total-order windows, partition-invariant plans) claims the
+answers stay hash-identical to DuckDB at any scale, and until round 9
+that was only ever *proven* up to sf0.1 (~600k lineitem rows). The
+reference analog is count-verification at whatever scale the archive
+runs (worker/worker.go:230-242); the bar here is the full value hash.
+
+Corpus: a FULL 10-table scaled tree (the perf rehearsal builds only 4
+tables and lets part/supplier FKs dangle for r>0 — fine for timing,
+wrong for join-heavy answer checks). Replica r = 0..n-1, r=0 verbatim:
+
+- dims (region, nation): copied unchanged — corpus tables scale,
+  dimensions don't, exactly like production.
+- customer/supplier/part: key + r*1M; orders/lineitem: orderkey +
+  r*10M with cust/part/supp keys + r*1M — every FK lands inside its
+  own replica, so joins stay exact disjoint isomorphic copies and the
+  expected output is linear by construction.
+- events: event_id/user_id + r*1M, ts/props verbatim — replicas
+  overlay in time but users are disjoint, so sessionization and
+  per-user funnels scale linearly.
+- documents: doc_id + r*1M, non-stopword words caesar-shifted by r
+  (same transform as tools/scale_rehearsal.py, same reasons: verbatim
+  replication would create 10-member LSH clusters and quadratic
+  candidate pairs, which no real 10x corpus has).
+- embeddings: vec_id + r*100k, components rotated left by r — a
+  rotation preserves every intra-replica norm and dot product exactly
+  (both vectors rotate identically) while cross-replica cosine
+  structure decorrelates, so ANN/dedup outputs stay linear instead of
+  exploding into cross-replica duplicate clusters. The probe sets
+  (vec_id < K) live only in replica 0: fixed queries, scaled corpus —
+  the production shape.
+
+Every transform is exact integer/string manipulation — no floats are
+recomputed — so Spark and DuckDB read bit-identical inputs and the
+sf0.01 oracle-parity rules apply unchanged.
+
+Usage:
+    python tools/scale_correctness.py                   # 10x, default set
+    python tools/scale_correctness.py --scale 3
+    python tools/scale_correctness.py --queries tpch_q1,dedup_minhash_lsh
+    python tools/scale_correctness.py --all             # every registry query
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+SF01 = "/root/testdata/sf0.1"
+WORK = "/tmp/scale_correctness"
+
+# The 21 registry headliners from bench.py's anchor gate (archive_sync
+# is the 22nd headliner but is an end-to-end job, not a registry
+# query — its at-scale count-verify is covered by the perf rehearsal,
+# which asserts report.verify.is_correct at every scale point), plus
+# the dedup / graph / pipeline compositions the round-8 verdict called
+# out as the most production-shaped DAGs.
+DEFAULT_QUERIES = [
+    # bench headliners
+    "split_key_buckets",
+    "split_time_buckets",
+    "tpch_q1",
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "tpch_q6_revenue",
+    "window_top_orders_per_customer",
+    "sessionize_events",
+    "text_token_stats",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "pipeline_curate_documents",
+    "dedup_cross_corpus_minhash",
+    "pipeline_curate_v2",
+    "pipeline_cdc_chunks",
+    "graph_pagerank_event_types",
+    "graph_triangle_count",
+    "agg_histogram_quantile",
+    "profile_ks_drift",
+    "verify_block_fingerprints",
+    "agg_gini_revenue",
+    # dedup compositions
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_clusters_keep_one",
+    "dedup_source_priority_keep_one",
+    # graph
+    "graph_bfs_hops",
+    # pipeline compositions
+    "pipeline_curate_near_dedup",
+    "pipeline_leakage_safe_split",
+    "pipeline_train_val_test",
+    # changed round 9 (scan-fused label) — prove the rewrite at scale
+    "embedding_label_stats",
+]
+
+EMB_DIM = 64  # embeddings.embedding is FLOAT[64] in every sf tree
+
+
+def build_full_corpus(n: int, out_dir: str) -> None:
+    """All 10 tables, replica-offset keys, into *out_dir*."""
+    import duckdb
+
+    from tools.scale_rehearsal import STOPWORDS, _caesar  # noqa: F401
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+
+    def copy(sql: str, table: str) -> None:
+        con.execute(
+            f"COPY ({sql}) TO '{out_dir}/{table}.parquet' (FORMAT parquet)"
+        )
+
+    for dim in ("region", "nation"):
+        shutil.copyfile(f"{SF01}/{dim}.parquet", f"{out_dir}/{dim}.parquet")
+
+    copy(
+        f"""SELECT c.* REPLACE (c_custkey + r * 1_000_000 AS c_custkey)
+            FROM '{SF01}/customer.parquet' c, range({n}) t(r)""",
+        "customer",
+    )
+    copy(
+        f"""SELECT s.* REPLACE (s_suppkey + r * 1_000_000 AS s_suppkey)
+            FROM '{SF01}/supplier.parquet' s, range({n}) t(r)""",
+        "supplier",
+    )
+    copy(
+        f"""SELECT p.* REPLACE (p_partkey + r * 1_000_000 AS p_partkey)
+            FROM '{SF01}/part.parquet' p, range({n}) t(r)""",
+        "part",
+    )
+    copy(
+        f"""SELECT o.* REPLACE (
+                 o_orderkey + r * 10_000_000 AS o_orderkey,
+                 o_custkey + r * 1_000_000 AS o_custkey)
+            FROM '{SF01}/orders.parquet' o, range({n}) t(r)""",
+        "orders",
+    )
+    copy(
+        f"""SELECT li.* REPLACE (
+                 l_orderkey + r * 10_000_000 AS l_orderkey,
+                 l_partkey + r * 1_000_000 AS l_partkey,
+                 l_suppkey + r * 1_000_000 AS l_suppkey)
+            FROM '{SF01}/lineitem.parquet' li, range({n}) t(r)""",
+        "lineitem",
+    )
+    copy(
+        f"""SELECT e.* REPLACE (
+                 event_id + r * 1_000_000 AS event_id,
+                 user_id + r * 1_000_000 AS user_id)
+            FROM '{SF01}/events.parquet' e, range({n}) t(r)""",
+        "events",
+    )
+    # rotate-left by r: slice indices are 1-based inclusive in DuckDB
+    copy(
+        f"""SELECT vec_id + r * 100_000 AS vec_id,
+                 CASE WHEN (r % {EMB_DIM}) = 0 THEN embedding
+                      ELSE embedding[(r % {EMB_DIM}) + 1 :]
+                           || embedding[1 : (r % {EMB_DIM})]
+                 END AS embedding,
+                 label
+            FROM '{SF01}/embeddings.parquet', range({n}) t(r)""",
+        "embeddings",
+    )
+
+    # documents: python-side caesar shift (shared with the perf
+    # rehearsal so the two 10x corpora have identical text statistics)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = con.execute(
+        f"SELECT doc_id, text, lang, source, n_chars "
+        f"FROM '{SF01}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    with pq.ParquetWriter(f"{out_dir}/documents.parquet", schema) as w:
+        for r in range(n):
+            w.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            [d[0] + r * 1_000_000 for d in docs], pa.int64()
+                        ),
+                        "text": pa.array(
+                            [
+                                d[1]
+                                if r == 0
+                                else " ".join(
+                                    _caesar(wd, r) for wd in d[1].split(" ")
+                                )
+                                for d in docs
+                            ]
+                        ),
+                        "lang": pa.array([d[2] for d in docs]),
+                        "source": pa.array([d[3] for d in docs]),
+                        "n_chars": pa.array([d[4] for d in docs], pa.int64()),
+                    },
+                    schema=schema,
+                )
+            )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=10)
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument(
+        "--all", action="store_true", help="sweep every registry query"
+    )
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+
+    out_dir = f"{WORK}/x{args.scale}"
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    if args.rebuild or not all(
+        os.path.exists(f"{out_dir}/{t}.parquet") for t in tables
+    ):
+        print(
+            f"building {args.scale}x full corpus at {out_dir} ...",
+            file=sys.stderr,
+        )
+        t0 = time.monotonic()
+        build_full_corpus(args.scale, out_dir)
+        print(
+            f"built in {time.monotonic() - t0:.1f}s", file=sys.stderr
+        )
+
+    from oracle_compare import run
+
+    if args.all:
+        from bend_archiver_spark.queries import REGISTRY
+
+        names = list(REGISTRY)
+    else:
+        names = args.queries.split(",")
+    t0 = time.monotonic()
+    ok = run(names, sf_dir=out_dir, shuffle_partitions=32)
+    summary = {
+        "scale": args.scale,
+        "sf_dir": out_dir,
+        "queries": len(names),
+        "all_green": ok,
+        "wall_sec": round(time.monotonic() - t0, 1),
+    }
+    print(json.dumps(summary))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
