@@ -269,6 +269,16 @@ _CHANGED_R09 = frozenset({
     "embedding_label_stats",
 })
 
+# NOT re-tiered in round 9, deliberately: the DuckDB-rounding fix
+# (CAST(dec AS VARCHAR) AS DOUBLE hop, 52 oracle strings + the
+# o_dec_sum/o_dec_avg helpers) and the MATERIALIZED-CTE rewrite of the
+# graph oracles are ORACLE-ONLY changes — zero Spark plans moved — and
+# were proven value-invariant by full 226/226 batteries at BOTH
+# sf0.001 and sf0.01 immediately after the rewrite, plus the 10x-scale
+# sweep. Re-tiering 52 queries would spend the entire 50-row driver
+# budget re-confirming measured-invariant strings and starve the
+# stale-r03 rotation the round-8 verdict prioritized.
+
 _CHECKED_GOOD = (
     (
         _GREEN_R01 | _GREEN_R03 | _GREEN_R04 | _GREEN_R05 | _GREEN_R06

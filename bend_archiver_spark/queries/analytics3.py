@@ -37,11 +37,17 @@ from .base import register, t
 _TRI_MIN_SUPPORT = 3
 
 # shared CTE: the part co-occurrence graph (oriented u < v) — used by
-# triangle counting here and label propagation in analytics4
+# triangle counting here and label propagation in analytics4.
+# MATERIALIZED: DuckDB 1.0 inlines non-recursive CTEs at every
+# reference, so a multi-arm consumer (triangles join edges 3x, BFS
+# touches adj per hop) would re-run the lineitem self-join per arm —
+# at the 10x sweep scale that turned the BFS oracle into an 80 GB
+# temp-spill. Materializing is the oracle-side twin of the Spark
+# side's persisted cooccur_edges barrier.
 EDGES_CTE = f"""
-li AS (
+li AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-edges AS (
+edges AS MATERIALIZED (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

@@ -199,23 +199,23 @@ _EPOCH = "2024-01-01"
 _DECOMP_ORACLE = f"""
 WITH daily AS (
   SELECT event_type, date_trunc('day', ts)::DATE AS day,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total
   FROM events GROUP BY 1, 2),
 tr AS (
   SELECT event_type, day, total,
-         CAST(SUM(CAST(total AS DECIMAL(38,6))) OVER w AS DOUBLE)
+         CAST(CAST(SUM(CAST(total AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE)
            / COUNT(*) OVER w AS trend
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
 dw AS (
   SELECT event_type, (((day - DATE '{_EPOCH}') % 7) + 7) % 7 AS dow,
-         CAST(SUM(CAST(total AS DECIMAL(38,6))) AS DOUBLE)
+         CAST(CAST(SUM(CAST(total AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
            / COUNT(*) AS dow_avg
   FROM daily GROUP BY 1, 2),
 ov AS (
   SELECT event_type,
-         CAST(SUM(CAST(total AS DECIMAL(38,6))) AS DOUBLE)
+         CAST(CAST(SUM(CAST(total AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
            / COUNT(*) AS all_avg
   FROM daily GROUP BY 1)
 SELECT tr.event_type,
@@ -315,10 +315,10 @@ WITH s AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sy,
          CAST(SUM(x * x) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+         CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxy
   FROM (
     SELECT event_type,
            CAST(date_trunc('day', ts)::DATE - DATE '{_EPOCH}' AS BIGINT) AS x,

@@ -33,26 +33,33 @@ _BFS_HOPS = 3
 
 
 def _bfs_hop_sql(i: int) -> str:
+    # every CTE here is referenced more than once downstream (v{i}
+    # feeds both the next hop's NOT IN and the next union) —
+    # MATERIALIZED stops DuckDB 1.0's inline-per-reference expansion,
+    # which otherwise re-evaluates the whole edge pipeline once per
+    # reference and goes exponential in the hop count
     return f"""
-    f{i} AS (
+    f{i} AS MATERIALIZED (
       SELECT DISTINCT a.nbr AS node
       FROM adj a JOIN d{i - 1} ON a.node = d{i - 1}.node),
-    d{i} AS (
+    d{i} AS MATERIALIZED (
       SELECT node, {i} AS dist FROM f{i}
       WHERE node NOT IN (SELECT node FROM v{i - 1})),
-    v{i} AS (SELECT * FROM v{i - 1} UNION ALL SELECT * FROM d{i})
+    v{i} AS MATERIALIZED (
+      SELECT * FROM v{i - 1} UNION ALL SELECT * FROM d{i})
     """
 
 
 _BFS_ORACLE = (
     f"WITH {EDGES_CTE},"
     + """
-    adj AS (SELECT u AS node, v AS nbr FROM edges
+    adj AS MATERIALIZED (
+            SELECT u AS node, v AS nbr FROM edges
             UNION ALL SELECT v, u FROM edges),
     src AS (SELECT MIN(node) AS node
             FROM (SELECT node FROM adj)),
     d0 AS (SELECT node, 0 AS dist FROM src),
-    v0 AS (SELECT * FROM d0)
+    v0 AS MATERIALIZED (SELECT * FROM d0)
     """
     + "".join("," + _bfs_hop_sql(i) for i in range(1, _BFS_HOPS + 1))
     + f"""
@@ -100,7 +107,7 @@ WITH tagged AS (
   FROM events)
 SELECT COALESCE(touch, 'direct') AS channel,
        CAST(COUNT(*) AS BIGINT) AS n_purchases,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM tagged WHERE event_type = 'purchase'
 GROUP BY 1
 """
@@ -218,9 +225,9 @@ WITH elems AS (
 stats AS (
   SELECT dim,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
-                       AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+         CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                       AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxx
   FROM elems GROUP BY dim),
 z AS (
   SELECT vec_id, label, elems.dim,

@@ -41,7 +41,7 @@ _EPOCH = datetime.date(2024, 1, 1)
 _DAILY_SQL = """
   SELECT event_type,
          date_trunc('day', ts)::DATE AS day,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total
   FROM events GROUP BY 1, 2
 """
 
@@ -118,10 +118,10 @@ _EWMA_ORACLE = f"""
 WITH daily AS ({_DAILY_SQL})
 SELECT cur.event_type, strftime(cur.day, '%Y-%m-%d') AS day,
        cur.total,
-       round(CAST(SUM(CAST(past.total
+       round(CAST(CAST(SUM(CAST(past.total
                            * (1::BIGINT << ({_EWMA_WINDOW} - 1
                                             - (cur.day - past.day)))
-                           AS DECIMAL(38,6))) AS DOUBLE)
+                           AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
                / SUM(1::BIGINT << ({_EWMA_WINDOW} - 1
                                    - (cur.day - past.day))), 6) AS ewma
 FROM daily cur
@@ -288,11 +288,11 @@ lags AS (SELECT unnest(range(0, {_MAX_LAG + 1})) AS lag),
 s AS (
   SELECT l.lag,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(a.x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(b.y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(a.x * a.x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(b.y * b.y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(a.x * b.y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+         CAST(CAST(SUM(CAST(a.x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(b.y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(a.x * a.x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(b.y * b.y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(a.x * b.y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxy
   FROM lags l
   JOIN a ON TRUE
   JOIN b ON b.day - a.day = l.lag
@@ -445,12 +445,12 @@ _SKEW_ORACLE = """
 WITH s AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
-         CAST(SUM(CAST(value * value * value
-                       AS DECIMAL(38,6))) AS DOUBLE) AS s3,
-         CAST(SUM(CAST(value * value * value * value
-                       AS DECIMAL(38,6))) AS DOUBLE) AS s4
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(CAST(value * value * value
+                       AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS s3,
+         CAST(CAST(SUM(CAST(value * value * value * value
+                       AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS s4
   FROM events GROUP BY event_type)
 SELECT event_type, n,
        round((s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n)

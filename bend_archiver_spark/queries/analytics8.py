@@ -179,12 +179,12 @@ WITH decomp AS ({_DECOMP_ORACLE}),
 s AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(residual AS DECIMAL(38,6))) AS DOUBLE) AS sr,
-         CAST(SUM(CAST(residual * residual AS DECIMAL(38,6)))
+         CAST(CAST(SUM(CAST(residual AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sr,
+         CAST(CAST(SUM(CAST(residual * residual AS DECIMAL(38,6))) AS VARCHAR)
               AS DOUBLE) AS srr,
-         CAST(SUM(CAST((seasonal + residual) * (seasonal + residual)
-                       AS DECIMAL(38,6))) AS DOUBLE) AS sss,
-         CAST(SUM(CAST(seasonal + residual AS DECIMAL(38,6)))
+         CAST(CAST(SUM(CAST((seasonal + residual) * (seasonal + residual)
+                       AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sss,
+         CAST(CAST(SUM(CAST(seasonal + residual AS DECIMAL(38,6))) AS VARCHAR)
               AS DOUBLE) AS ss
   FROM decomp GROUP BY event_type)
 SELECT event_type, n,
@@ -335,7 +335,7 @@ def text_source_vocab_overlap(
            CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
                 AS BIGINT) - fo.cohort_m AS months_since,
            CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
              AS revenue
     FROM orders o JOIN fo USING (o_custkey)
     GROUP BY 1, 2

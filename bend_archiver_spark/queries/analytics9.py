@@ -259,7 +259,7 @@ dec AS (
 SELECT decile,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       CAST(SUM(CAST(ttr AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+       CAST(CAST(SUM(CAST(ttr AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
          AS mean_ttr
 FROM dec GROUP BY decile
 """

@@ -124,9 +124,20 @@ def dec_sum(col: Column, alias: str) -> Column:
     """Order-independent double sum: per-row cast to DECIMAL(38,6)
     (exact, associative addition) -> one final cast to double.
 
-    Oracle twin: ``CAST(SUM(CAST(expr AS DECIMAL(38,6))) AS DOUBLE)``.
-    Doubles are dyadic rationals so the 6-dp rounding has no decimal
-    ties — both engines round identically.
+    Oracle twin: ``CAST(CAST(SUM(CAST(expr AS DECIMAL(38,6))) AS
+    VARCHAR) AS DOUBLE)``. Doubles are dyadic rationals so the 6-dp
+    rounding has no decimal ties — both engines round identically.
+
+    The oracle's VARCHAR hop exists because DuckDB's direct
+    DECIMAL -> DOUBLE cast converts the int128 representation to
+    double and then divides by 10^scale — two roundings — so once the
+    scaled integer exceeds 2^53 (sums above ~9e9 at scale 6) the
+    result can be 1 ulp off the correctly-rounded value that Spark's
+    BigDecimal.doubleValue() produces. DuckDB's VARCHAR -> DOUBLE
+    parse IS correctly rounded, so the hop restores bit-parity at any
+    magnitude. Found by the round-9 10x-scale sweep: tpch_q1's
+    sum_charge diverged in its last ulp at 6M rows while every
+    smaller scale was bit-identical.
     """
     return F.sum(col.cast("decimal(38,6)")).cast("double").alias(alias)
 
@@ -141,13 +152,16 @@ def dec_avg(col: Column, alias: str) -> Column:
 def o_dec_sum(expr: str, alias: str) -> str:
     """Oracle-side twin of :func:`dec_sum` (module-level helper for
     building SQL strings)."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS VARCHAR)"
+        f" AS DOUBLE) AS {alias}"
+    )
 
 
 def o_dec_avg(expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS VARCHAR)"
+        f" AS DOUBLE) / COUNT({expr}) AS {alias}"
     )
 
 

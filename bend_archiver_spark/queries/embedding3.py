@@ -241,7 +241,7 @@ s AS (
   FROM ab)
 SELECT CAST(label AS BIGINT) AS label,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
-       CAST(SUM(CAST(sil AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+       CAST(CAST(SUM(CAST(sil AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
          AS mean_silhouette
 FROM s GROUP BY label
 """

@@ -311,7 +311,7 @@ def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(MIN(n_chars) AS BIGINT) AS min_chars,
            CAST(MAX(n_chars) AS BIGINT) AS max_chars,
-           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
              AS mean_chars
     FROM documents
     """,

@@ -27,8 +27,8 @@ from .base import dec_sum, o_dec_sum, register, t
            {o_dec_sum('l_extendedprice', 'sum_base_price')},
            {o_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
            {o_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -234,10 +234,10 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     "window_running_revenue",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
                 OVER (PARTITION BY l_suppkey
                       ORDER BY l_shipdate, l_orderkey, l_linenumber
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
                 AS DOUBLE) AS running_revenue
     FROM lineitem
     WHERE l_suppkey <= 3
@@ -457,7 +457,7 @@ def datetime_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
              / COUNT(*) AS avg_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events
@@ -602,7 +602,7 @@ def asof_join_purchase_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sq_norm
+           CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sq_norm
     FROM (SELECT vec_id, embedding, UNNEST(embedding) AS x FROM embeddings)
     GROUP BY vec_id, len(embedding)
     """,

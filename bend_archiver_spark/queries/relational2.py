@@ -134,10 +134,10 @@ def tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q14_promo_ratio",
     oracle=f"""
     SELECT
-      CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%%'
+      CAST(CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%%'
                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-               AS DECIMAL(38,6))) AS DOUBLE)
-        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+               AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
         AS promo_ratio,
       {o_dec_sum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -360,8 +360,8 @@ def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT c_mktsegment,
              COUNT(*) AS n,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxx
       FROM customer GROUP BY c_mktsegment
     )
     SELECT c_mktsegment, n,
@@ -438,7 +438,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_totalprice
     FROM orders
     WHERE o_totalprice > (
-      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+      SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
       FROM orders
     ) * 1.5
     """,
@@ -448,6 +448,9 @@ def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery: orders 1.5x above the mean price (the scalar is
     computed once and broadcast into the filter)."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    # Spark side keeps the direct decimal -> double cast: Spark's
+    # (BigDecimal.doubleValue) is correctly rounded; only the DuckDB
+    # oracle needs the VARCHAR hop (see queries/base.py::dec_sum).
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice

@@ -156,11 +156,11 @@ def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH s AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -211,8 +211,8 @@ def agg_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+             CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxx
       FROM events GROUP BY event_type
     ),
     stats AS (
@@ -279,7 +279,7 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_cust)
     SELECT r_score, f_score, m_score,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(monetary AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
              AS segment_value
     FROM scored GROUP BY 1, 2, 3
     """,

@@ -223,7 +223,7 @@ def tpch_q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT c_mktsegment AS segment,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
              AS totacctbal
     FROM customer, stats
     WHERE CAST(c_acctbal AS DECIMAL(38,6)) * bal_cnt > bal_sum

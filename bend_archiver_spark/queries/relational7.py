@@ -30,10 +30,10 @@ from .base import register, t
     oracle="""
     SELECT o_orderkey, o_custkey,
            strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
                   PARTITION BY o_custkey
                   ORDER BY CAST(o_orderdate AS DATE)
-                  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS VARCHAR)
                 AS DOUBLE) AS rev_7d
     FROM orders
     """,
@@ -81,7 +81,7 @@ def window_range_sliding_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily AS (
       SELECT CAST(ts AS DATE) AS day,
              CAST(COUNT(*) AS BIGINT) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
       FROM events GROUP BY 1
     )
     SELECT strftime(s.day, '%Y-%m-%d') AS day,

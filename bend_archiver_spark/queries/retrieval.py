@@ -85,7 +85,7 @@ scored AS (
 totals AS (
   SELECT doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
-         round(CAST(SUM(CAST(term_score AS DECIMAL(38,9))) AS DOUBLE), 6)
+         round(CAST(CAST(SUM(CAST(term_score AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE), 6)
            AS bm25
   FROM scored GROUP BY doc_id)
 SELECT doc_id, n_terms_hit, bm25,

@@ -53,6 +53,12 @@ QUERIES = [
     "dedup_cross_corpus_minhash",
     "agg_kmv_distinct_sketch",
     "archive_sync",
+    # round 9: the two most production-shaped curation DAGs (quality
+    # gate -> banded near-dup -> keep/drop funnel; near-dup components
+    # -> component-atomic train/val/test split) — documents-only, so
+    # the 4-table rehearsal corpus covers them
+    "pipeline_curate_near_dedup",
+    "pipeline_leakage_safe_split",
 ]
 
 # must match queries/text.py _STOPWORDS — the funnel's stopword rule
