@@ -97,8 +97,9 @@ c AS (
          SUM(revenue) OVER () AS total
   FROM rev)
 SELECT l_partkey,
-       CAST(revenue AS DOUBLE) AS revenue,
-       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+       CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(total AS VARCHAR) AS DOUBLE) AS cum_share,
        CASE WHEN cum * 5 <= total * 4 THEN 'A'
             WHEN cum * 20 <= total * 19 THEN 'B'
             ELSE 'C' END AS abc_class

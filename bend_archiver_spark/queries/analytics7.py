@@ -216,9 +216,9 @@ mad AS (
            COUNT(*) OVER (PARTITION BY event_type) AS n
     FROM dev) WHERE rk = (n + 1) // 2)
 SELECT dev.event_type, strftime(dev.day, '%Y-%m-%d') AS day,
-       CAST(dev.x AS DOUBLE) AS total,
-       CAST(dev.m AS DOUBLE) AS med,
-       CAST(mad.mad AS DOUBLE) AS mad
+       CAST(CAST(dev.x AS VARCHAR) AS DOUBLE) AS total,
+       CAST(CAST(dev.m AS VARCHAR) AS DOUBLE) AS med,
+       CAST(CAST(mad.mad AS VARCHAR) AS DOUBLE) AS mad
 FROM dev JOIN mad USING (event_type)
 WHERE dev.adev > 3 * mad.mad
 """

@@ -50,8 +50,8 @@ r AS (
 s AS (
   SELECT segment,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x) AS DOUBLE) AS sx,
-         CAST(SUM(rk * x) AS DOUBLE) AS srx
+         CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(rk * x) AS VARCHAR) AS DOUBLE) AS srx
   FROM r GROUP BY segment)
 SELECT segment, n,
        round(2 * srx / (n * sx) - CAST(n + 1 AS DOUBLE) / n, 9) AS gini

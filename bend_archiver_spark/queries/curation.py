@@ -177,9 +177,14 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# lshp and sem_edges are MATERIALIZED: DuckDB 1.0 inlines CTEs per
+# reference, and the recursive reach term re-scans sem_edges every
+# iteration — without materialization each iteration re-ran the whole
+# LSH+cosine pipeline (twice, once per UNION arm), which spilled
+# >79 GB of temp at the 10x sweep scale before failing.
 _SEMANTIC_CC_ORACLE = f"""
-    WITH RECURSIVE lshp AS ({_COSINE_LSH_SQL}),
-    sem_edges AS (
+    WITH RECURSIVE lshp AS MATERIALIZED ({_COSINE_LSH_SQL}),
+    sem_edges AS MATERIALIZED (
       SELECT vec_a AS a, vec_b AS b FROM lshp
       UNION ALL
       SELECT vec_b AS a, vec_a AS b FROM lshp

@@ -314,13 +314,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_TABLES, _LSH_PLANES = 8, 6
 
 _COSINE_LSH_SQL = f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT vec_id,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xq,
              generate_subscripts(embedding, 1) - 1 AS i
       FROM embeddings
     ),
-    norms AS (SELECT vec_id, SUM(xq * xq) AS nrm FROM e GROUP BY vec_id),
+    norms AS MATERIALIZED (
+      SELECT vec_id, SUM(xq * xq) AS nrm FROM e GROUP BY vec_id),
     signs AS (
       SELECT g.j, d.i,
              CASE WHEN {hash64_sql("concat(g.j, '_', d.i)")} % 2 = 1
@@ -334,12 +335,12 @@ _COSINE_LSH_SQL = f"""
       FROM e JOIN signs s ON s.i = e.i
       GROUP BY 1, 2, 3
     ),
-    buckets AS (
+    buckets AS MATERIALIZED (
       SELECT vec_id, tbl,
              SUM(CASE WHEN dot_j > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
       FROM proj GROUP BY vec_id, tbl
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM buckets a
       JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket

@@ -269,7 +269,7 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_custkey),
     scored AS (
       SELECT o_custkey, frequency,
-             CAST(monetary_dec AS DOUBLE) AS monetary,
+             CAST(CAST(monetary_dec AS VARCHAR) AS DOUBLE) AS monetary,
              CAST(ntile(4) OVER (ORDER BY last_order, o_custkey)
                   AS BIGINT) AS r_score,
              CAST(ntile(4) OVER (ORDER BY frequency, o_custkey)

@@ -91,9 +91,10 @@ def tpch_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT order_year, supp_nation,
-           CAST(rev_dec AS DOUBLE) AS revenue,
-           CAST(rev_dec AS DOUBLE)
-             / CAST(SUM(rev_dec) OVER (PARTITION BY order_year) AS DOUBLE)
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(rev_dec) OVER (PARTITION BY order_year)
+                         AS VARCHAR) AS DOUBLE)
              AS market_share
     FROM region_sales
     """,

@@ -115,7 +115,8 @@ def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate <  DATE '1998-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_revenue
     FROM supplier
     JOIN revenue ON s_suppkey = supplier_no
     WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)

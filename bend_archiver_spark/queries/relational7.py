@@ -302,7 +302,7 @@ def setops_all_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM spine s LEFT JOIN daily d ON s.day = d.day
     )
     SELECT strftime(day, '%Y-%m-%d') AS day,
-           CAST(SUM(total_value) OVER w AS DOUBLE)
+           CAST(CAST(SUM(total_value) OVER w AS VARCHAR) AS DOUBLE)
              / COUNT(*) OVER w AS ma7
     FROM dense
     WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -377,8 +377,8 @@ _SEASON = 7  # weekly seasonality
       FROM dense)
     SELECT event_type,
            CAST(COUNT(fc) AS BIGINT) AS n_scored,
-           CAST(SUM(abs(v - fc)) AS DOUBLE) AS total_abs_err,
-           CAST(SUM(abs(v - fc)) AS DOUBLE) / COUNT(fc) AS mae
+           CAST(CAST(SUM(abs(v - fc)) AS VARCHAR) AS DOUBLE) AS total_abs_err,
+           CAST(CAST(SUM(abs(v - fc)) AS VARCHAR) AS DOUBLE) / COUNT(fc) AS mae
     FROM scored WHERE fc IS NOT NULL
     GROUP BY event_type
     """,

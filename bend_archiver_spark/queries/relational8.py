@@ -136,7 +136,7 @@ WITH nat_value AS (
 total AS (SELECT SUM(value_dec) AS total_dec,
                  CAST(COUNT(*) AS BIGINT) AS n_parts
           FROM nat_value)
-SELECT partkey, CAST(value_dec AS DOUBLE) AS part_value
+SELECT partkey, CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS part_value
 FROM nat_value, total
 WHERE value_dec * n_parts > total_dec * 2
 """

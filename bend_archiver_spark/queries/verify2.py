@@ -276,7 +276,7 @@ SELECT (SELECT CAST((COUNT(DISTINCT event_type) - 1)
                     * (COUNT(DISTINCT (((date_trunc('day', ts)::DATE
                                        - DATE '{_EPOCH}') % 7) + 7) % 7) - 1)
                AS BIGINT) FROM events) AS dof,
-       CAST(SUM(contrib) AS DOUBLE) AS chi2
+       CAST(CAST(SUM(contrib) AS VARCHAR) AS DOUBLE) AS chi2
 FROM cells
 """
 

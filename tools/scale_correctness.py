@@ -138,8 +138,26 @@ def build_full_corpus(n: int, out_dir: str) -> None:
             FROM '{SF01}/supplier.parquet' s, range({n}) t(r)""",
         "supplier",
     )
+    # p_name is caesar-shifted per replica (full-letter bijection:
+    # translate() with a rotated alphabet). A bijection preserves
+    # every INTRA-replica edit distance exactly, so fuzzy-match /
+    # SymSpell structure is identical per replica, while verbatim
+    # replication would give every part 10 exact-copy names and blow
+    # cross-replica fuzzy pairs up ~100x instead of 10x (found when
+    # text_fuzzy_match_parts overflowed the driver at the 10x sweep).
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    name_case = " ".join(
+        f"WHEN r = {r} THEN translate(p_name, "
+        f"'{lower + upper}', "
+        f"'{lower[r % 26:] + lower[: r % 26] + upper[r % 26:] + upper[: r % 26]}')"
+        for r in range(1, n)
+    )
+    name_expr = f"CASE WHEN r = 0 THEN p_name {name_case} END" if n > 1 else "p_name"
     copy(
-        f"""SELECT p.* REPLACE (p_partkey + r * 1_000_000 AS p_partkey)
+        f"""SELECT p.* REPLACE (
+                 p_partkey + r * 1_000_000 AS p_partkey,
+                 {name_expr} AS p_name)
             FROM '{SF01}/part.parquet' p, range({n}) t(r)""",
         "part",
     )
