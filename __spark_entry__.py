@@ -220,8 +220,8 @@ _CHANGED_R07 = frozenset({
 
 # Queries with a driver-green CORRECTNESS_r07 AND _r08 row (the two
 # rounds checked the identical 50-query set, 50/50 hash_match both
-# times: every _CHANGED_R07 member, the four round-7 additions, and
-# 26 stalest r01-era re-confirmations).
+# times: the 28 _CHANGED_R07 members — which already include the four
+# round-7 additions — plus 22 stalest r01-era re-confirmations).
 _GREEN_R08 = frozenset({
     "array_funcs_embeddings", "asof_join_purchase_session",
     "datetime_funcs_orders", "dedup_exact_substring_removal",
@@ -267,6 +267,12 @@ _CHANGED_R08 = frozenset({
 # — plan changed, re-earns its driver row.
 _CHANGED_R09 = frozenset({
     "embedding_label_stats",
+    # oracle ALGORITHM rewrite (naive block-pair join -> symmetric-
+    # delete candidates, queries/text.py): unlike the mechanical
+    # rounding hop below, this changes what the oracle computes its
+    # answer FROM, so it re-earns a driver row despite the
+    # hash-equal verification at sf0.001/sf0.01/10x.
+    "text_fuzzy_match_parts",
 })
 
 # NOT re-tiered in round 9, deliberately: the DuckDB-rounding fix

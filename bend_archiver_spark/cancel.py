@@ -97,7 +97,13 @@ def install_signal_handlers(signals: tuple[int, ...] = ()) -> dict:
     tracked by a dedicated raised flag, NOT by the token: a prior
     programmatic ``request_cancel()`` from another thread does not
     consume the raise, so the first real signal always interrupts the
-    main thread immediately."""
+    main thread immediately. The flip side of that choice: if the job
+    is ALREADY unwinding a programmatic cancellation when the first
+    real signal lands, the raise happens inside the caller's
+    ``except JobCancelled``/``finally`` exit path — callers that must
+    guarantee an exit code (the CLI) therefore keep an outer
+    last-resort ``except JobCancelled`` around the whole run
+    (``cli.main``)."""
     sigs = signals or (signal.SIGQUIT, signal.SIGTERM, signal.SIGINT)
     previous: dict = {}
 

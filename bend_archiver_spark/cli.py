@@ -106,6 +106,41 @@ def _run_compact(args: argparse.Namespace) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    """CLI entry. Thin wrapper whose only job is the last-resort
+    cancellation catch, covering two escape paths the inner handler
+    cannot:
+
+    - a real signal landing while ``_archive_main`` is ALREADY
+      unwinding a programmatic cancellation (inside its ``except
+      JobCancelled`` block or the ``finally`` cleanup) raises a
+      second ``JobCancelled`` past the inner handler;
+    - a signal whose ``JobCancelled`` raise lands inside a py4j
+      socket read gets CAUGHT by py4j's broad ``except`` in
+      ``send_command`` and re-surfaces as ``Py4JError`` /
+      ``Py4JNetworkError`` — a foreign type no ``except
+      JobCancelled`` can see.
+
+    In both cases the recorded signal is authoritative: exit
+    128+signum, never an uncaught traceback."""
+    try:
+        return _archive_main(argv)
+    except JobCancelled as e:
+        print(f"cancelled: {e}", file=sys.stderr)
+        sig = last_signal()
+        return 128 + sig if sig else 1
+    except Exception as e:  # noqa: BLE001
+        sig = last_signal()
+        if sig is None:
+            raise
+        print(
+            f"cancelled: received signal {sig} (surfaced as "
+            f"{type(e).__name__} from an interrupted JVM call)",
+            file=sys.stderr,
+        )
+        return 128 + sig
+
+
+def _archive_main(argv: list[str] | None = None) -> int:
     args = _parse_args(argv)
     if args.compact:
         return _run_compact(args)
@@ -204,6 +239,21 @@ def main(argv: list[str] | None = None) -> int:
         print(f"cancelled: {e}", file=sys.stderr)
         sig = last_signal()
         rc = 128 + sig if sig else 1
+    except Exception as e:  # noqa: BLE001
+        # A signal whose JobCancelled raise landed inside a py4j
+        # socket read gets caught by py4j's broad except in
+        # send_command and re-surfaces as Py4JError — a foreign type.
+        # The recorded signal is authoritative: this is a
+        # cancellation, not a job failure.
+        sig = last_signal()
+        if sig is None:
+            raise
+        print(
+            f"cancelled: received signal {sig} (surfaced as "
+            f"{type(e).__name__} from an interrupted JVM call)",
+            file=sys.stderr,
+        )
+        rc = 128 + sig
     finally:
         if prev_handlers is not None:
             restore_signal_handlers(prev_handlers)

@@ -379,7 +379,7 @@ stat AS (
          ABS(n * p - t * s) AS tt
   FROM pre)
 SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
-       round(CAST(tt AS DOUBLE) / n, 6) AS cusum_stat
+       round(CAST(CAST(tt AS VARCHAR) AS DOUBLE) / n, 6) AS cusum_stat
 FROM (
   SELECT event_type, day, n, tt,
          ROW_NUMBER() OVER (PARTITION BY event_type

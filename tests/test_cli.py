@@ -161,3 +161,108 @@ class TestCliCancellation:
         assert rc == 128 + signal.SIGTERM
         assert "cancelled" in capsys.readouterr().err
         assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+    def test_first_signal_during_cancel_unwind_still_exits_128(
+        self, monkeypatch, tmp_path, capsys
+    ):
+        """With the first-signal raise keyed off the dedicated flag
+        (not the token), a job stopped by a PROGRAMMATIC cancel still
+        has its raise armed — so a real signal landing while the CLI
+        is already unwinding that cancellation (here: during the
+        ``finally`` cleanup) raises a second JobCancelled that the
+        inner handler can't catch. It must exit 128+signum via the
+        outer ``main`` wrapper, not escape as a traceback."""
+        import os
+        import signal
+
+        def launching(*a, **k):
+            # programmatic trip: no signum recorded, raise still armed
+            cancel.request_cancel()
+            raise cancel.JobCancelled("cancelled before write")
+
+        real_restore = cli.restore_signal_handlers
+
+        def restore_with_late_signal(prev):
+            # a real SIGTERM lands just before handlers come off:
+            # handler raises synchronously inside the finally block
+            os.kill(os.getpid(), signal.SIGTERM)
+            real_restore(prev)  # pragma: no cover — raise precedes
+
+        monkeypatch.setattr(cli, "get_spark", launching)
+        monkeypatch.setattr(
+            cli, "restore_signal_handlers", restore_with_late_signal
+        )
+        conf = _write_conf(tmp_path, tmp_path / "out_unwind")
+        try:
+            rc = cli.main(
+                ["--conf", conf, "--source-path", "whatever.parquet"]
+            )
+        finally:
+            signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        assert rc == 128 + signal.SIGTERM
+        err = capsys.readouterr().err
+        assert "cancelled" in err
+        assert "Traceback" not in err
+
+    def test_signal_swallowed_by_jvm_call_still_exits_128(
+        self, monkeypatch, tmp_path, capsys
+    ):
+        """A signal whose JobCancelled raise lands inside a py4j
+        socket read is CAUGHT by py4j's broad ``except`` in
+        send_command and re-surfaces as Py4JError — a foreign type no
+        ``except JobCancelled`` can see (observed live: SIGTERM during
+        get_spark -> Py4JError -> rc=1 traceback). The recorded signal
+        is authoritative: the CLI must exit 128+signum."""
+        import os
+        import signal
+
+        class FakePy4JError(Exception):
+            """Stands in for py4j.protocol.Py4JError (not a
+            RuntimeError, exactly like the real one)."""
+
+        def launching(*a, **k):
+            # real signal delivery: the installed handler raises
+            # JobCancelled synchronously here...
+            try:
+                os.kill(os.getpid(), signal.SIGTERM)
+            except cancel.JobCancelled:
+                # ...and py4j's broad except swallows it, surfacing a
+                # protocol error instead
+                pass
+            raise FakePy4JError(
+                "An error occurred while calling None.org.apache."
+                "spark.sql.classic.SparkSession"
+            )
+
+        monkeypatch.setattr(cli, "get_spark", launching)
+        conf = _write_conf(tmp_path, tmp_path / "out_swallow")
+        try:
+            rc = cli.main(
+                ["--conf", conf, "--source-path", "whatever.parquet"]
+            )
+        finally:
+            signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        assert rc == 128 + signal.SIGTERM
+        err = capsys.readouterr().err
+        assert "cancelled" in err
+        assert "FakePy4JError" in err
+        assert "Traceback" not in err
+
+    def test_non_signal_exception_still_raises(
+        self, monkeypatch, tmp_path
+    ):
+        """The foreign-exception conversion keys strictly off a
+        RECORDED SIGNAL: an unexpected error with no signal delivered
+        must propagate unchanged, not be misreported as cancellation."""
+        class FakePy4JError(Exception):
+            pass
+
+        def launching(*a, **k):
+            raise FakePy4JError("gateway fell over on its own")
+
+        monkeypatch.setattr(cli, "get_spark", launching)
+        conf = _write_conf(tmp_path, tmp_path / "out_noswallow")
+        with pytest.raises(FakePy4JError):
+            cli.main(
+                ["--conf", conf, "--source-path", "whatever.parquet"]
+            )

@@ -115,7 +115,7 @@ def build_full_corpus(n: int, out_dir: str) -> None:
     """All 10 tables, replica-offset keys, into *out_dir*."""
     import duckdb
 
-    from tools.scale_rehearsal import STOPWORDS, _caesar  # noqa: F401
+    from tools.scale_rehearsal import write_scaled_documents
 
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
@@ -195,49 +195,9 @@ def build_full_corpus(n: int, out_dir: str) -> None:
         "embeddings",
     )
 
-    # documents: python-side caesar shift (shared with the perf
-    # rehearsal so the two 10x corpora have identical text statistics)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    docs = con.execute(
-        f"SELECT doc_id, text, lang, source, n_chars "
-        f"FROM '{SF01}/documents.parquet' ORDER BY doc_id"
-    ).fetchall()
-    schema = pa.schema(
-        [
-            ("doc_id", pa.int64()),
-            ("text", pa.string()),
-            ("lang", pa.string()),
-            ("source", pa.string()),
-            ("n_chars", pa.int64()),
-        ]
-    )
-    with pq.ParquetWriter(f"{out_dir}/documents.parquet", schema) as w:
-        for r in range(n):
-            w.write_table(
-                pa.table(
-                    {
-                        "doc_id": pa.array(
-                            [d[0] + r * 1_000_000 for d in docs], pa.int64()
-                        ),
-                        "text": pa.array(
-                            [
-                                d[1]
-                                if r == 0
-                                else " ".join(
-                                    _caesar(wd, r) for wd in d[1].split(" ")
-                                )
-                                for d in docs
-                            ]
-                        ),
-                        "lang": pa.array([d[2] for d in docs]),
-                        "source": pa.array([d[3] for d in docs]),
-                        "n_chars": pa.array([d[4] for d in docs], pa.int64()),
-                    },
-                    schema=schema,
-                )
-            )
+    # documents: the ONE shared writer (perf rehearsal + this tool) —
+    # the two 10x corpora must have byte-identical text statistics
+    write_scaled_documents(n, out_dir)
 
 
 def main() -> int:

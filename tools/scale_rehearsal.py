@@ -79,15 +79,18 @@ def _caesar(word: str, r: int) -> str:
     return "".join(out)
 
 
-def build_corpus(n_replicas: int, out_dir: str) -> None:
-    """Write scaled documents.parquet + lineitem.parquet to out_dir."""
+def write_scaled_documents(n_replicas: int, out_dir: str) -> None:
+    """Write the n-replica documents.parquet: doc_id offset by 1M per
+    replica, non-stopword words caesar-shifted by the replica index.
+
+    SHARED between the perf rehearsal and tools/scale_correctness.py —
+    the two 10x corpora must have byte-identical text statistics, so
+    there is exactly one copy of this transform."""
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
-
     docs = con.execute(
         f"SELECT doc_id, text, lang, source, n_chars "
         f"FROM '{SF01}/documents.parquet' ORDER BY doc_id"
@@ -131,6 +134,17 @@ def build_corpus(n_replicas: int, out_dir: str) -> None:
                     schema=schema,
                 )
             )
+    con.close()
+
+
+def build_corpus(n_replicas: int, out_dir: str) -> None:
+    """Write scaled documents.parquet + lineitem.parquet to out_dir."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+
+    write_scaled_documents(n_replicas, out_dir)
 
     con.execute(
         f"""

@@ -90,8 +90,17 @@ def build():
         j = salted_join(fact, part, "p_partkey", salt_buckets=32)
     else:
         j = fact.join(part, "p_partkey")
+    # per-row cast to DECIMAL before summing (the repo's dec_sum
+    # pattern): l_extendedprice is a double, and a double sum is
+    # order-DEPENDENT — three modes with three partitionings would
+    # legitimately disagree in the last bits, making the cross-mode
+    # identity check below impossible. Decimal addition is exact and
+    # associative, so identical answers give identical strings.
     return j.groupBy().agg(
-        F.sum(F.col("l_extendedprice") * F.length("p_name")).alias("s"),
+        F.sum(
+            (F.col("l_extendedprice") * F.length("p_name"))
+            .cast("decimal(38,6)")
+        ).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -125,7 +134,9 @@ def run_mode(mode: str) -> dict:
     for line in proc.stdout.splitlines():
         for key, cast in (
             ("ROWS", int),
-            ("SUM", float),
+            # exact decimal string, NOT float: the sum is a Decimal and
+            # the cross-mode identity check below compares it verbatim
+            ("SUM", str),
             ("SKEWED", lambda s: s == "True"),
             ("RESULT", float),
         ):
@@ -154,15 +165,22 @@ def main() -> int:
             "sec": round(r["result"], 3),
             "skew_split_fired": r["skewed"],
             "rows": r["rows"],
+            "sum": r["sum"],
         }
         print(f"{mode}: {table[mode]}", file=sys.stderr)
 
     ok = True
     if "aqe_on" in table and not table["aqe_on"]["skew_split_fired"]:
         ok = False
-    # all modes must agree on the answer (same rows, same sum hash)
+    # all modes must agree on the ANSWER, not just its cardinality:
+    # same row count AND the exact decimal sum string — a mode that
+    # preserves join cardinality but mis-assigns dim payloads would
+    # pass a rows-only check
     rows = {m: t["rows"] for m, t in table.items()}
     if len(set(rows.values())) > 1:
+        ok = False
+    sums = {m: t["sum"] for m, t in table.items()}
+    if len(set(sums.values())) > 1:
         ok = False
     print(json.dumps({"modes": table, "ok": ok}))
     return 0 if ok else 1
