@@ -273,6 +273,12 @@ _CHANGED_R09 = frozenset({
     # answer FROM, so it re-earns a driver row despite the
     # hash-equal verification at sf0.001/sf0.01/10x.
     "text_fuzzy_match_parts",
+    # the LM vocabulary pass folded into the persisted token stream
+    # (sentinel-padded arrays_zip, distinct over the unigram hash —
+    # queries/quality2.py): one fewer full-corpus scan; plan changed
+    # for the standalone query AND its curate_v2 composition, both
+    # re-earn rows (hash-green at sf0.001 + sf0.01 post-change).
+    "text_bigram_lm_bits", "pipeline_curate_v2",
 })
 
 # NOT re-tiered in round 9, deliberately: the DuckDB-rounding fix

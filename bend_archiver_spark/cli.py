@@ -214,6 +214,13 @@ def _archive_main(argv: list[str] | None = None) -> int:
                 # job-failure rc=1
                 raise
             except RuntimeError as e:
+                # a swallowed JobCancelled can come back re-wrapped
+                # (e.g. sink.py's delta guard chains `from e`) — with
+                # a recorded signal this is a cancellation, not a job
+                # failure; re-raise so the outer handlers exit
+                # 128+signum
+                if last_signal() is not None:
+                    raise
                 print(f"error: {e}", file=sys.stderr)
                 return 1
             rec.record(report.source_rows)

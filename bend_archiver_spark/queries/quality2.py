@@ -231,34 +231,52 @@ def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluates the split per ELEMENT — O(tokens^2) per document,
     # measured ~2x wall-clock on this corpus and unbounded on long
     # documents.)
+    # zip the FULL token array against its tail: arrays_zip pads the
+    # shorter side with NULL, so every token appears exactly once as
+    # w1 and the last token of each document rides a (w, NULL)
+    # sentinel row. One explode then serves all FOUR consumers
+    # (context counts, bigram counts, vocabulary, scoring probe) —
+    # previously the vocabulary needed its own full-corpus
+    # tokenize+explode+distinct pass, a second read of every byte of
+    # text at 100 TB.
     pairs = F.arrays_zip(
-        F.slice(arr, 1, sz - 1).alias("w1"),
+        arr.alias("w1"),
         F.slice(arr, 2, sz - 1).alias("w2"),
     )
-    # persist the compact (doc_id, c, g) int64 stream: it feeds three
-    # consumers (context counts, bigram counts, the scoring probe) and
-    # without the barrier Catalyst recomputes the explode+md5 front
-    # end for each — the same CollapseProject trap the minhash
-    # pipeline pins against. MEMORY_AND_DISK; ~24 bytes/bigram, spills
-    # rather than OOMs; callers clear cache between queries.
+    # persist the compact (doc_id, c, g) int64 stream: it feeds four
+    # consumers and without the barrier Catalyst recomputes the
+    # explode+md5 front end for each — the same CollapseProject trap
+    # the minhash pipeline pins against. MEMORY_AND_DISK; ~24
+    # bytes/token, spills rather than OOMs; callers clear cache
+    # between queries.
     stream = (
-        d.filter(sz >= 2)
-        .select("doc_id", F.explode(pairs).alias("s"))
+        d.select("doc_id", F.explode(pairs).alias("s"))
         .select(
             "doc_id",
             hash64_expr(F.col("s.w1")).alias("c"),
-            hash64_expr(
-                F.concat_ws(" ", F.col("s.w1"), F.col("s.w2"))
+            # NULL g marks the sentinel row — concat_ws SKIPS nulls,
+            # so without the guard the sentinel would silently hash
+            # as the bare unigram and pollute the bigram counts
+            F.when(
+                F.col("s.w2").isNotNull(),
+                hash64_expr(F.concat_ws(" ", F.col("s.w1"), F.col("s.w2"))),
             ).alias("g"),
         )
         .persist()
     )
-    u = stream.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("u_cnt"))
-    b = stream.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("b_cnt"))
-    vocab = (
-        d.select(F.explode(arr).alias("w"))
-        .agg(F.count_distinct("w").cast("bigint").alias("vocab"))
+    bigrams = stream.filter(F.col("g").isNotNull())
+    u = bigrams.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("u_cnt")
     )
+    b = bigrams.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("b_cnt")
+    )
+    # vocabulary from the SAME persisted stream: every corpus token is
+    # a w1 row exactly once. Distinct over the 60-bit hash — u_cnt and
+    # b_cnt above already group on that hash, so this adds no NEW
+    # collision assumption (a colliding word pair would already merge
+    # their context counts).
+    vocab = stream.agg(F.count_distinct("c").cast("bigint").alias("vocab"))
     bits = (
         F.length(F.bin(F.expr(f"({_LM_S} * (u_cnt + vocab)) div (b_cnt + 1)")))
         - 1

@@ -36,10 +36,21 @@ def do_retry(
 ) -> T:
     """Run ``fn``; retry on ``retryable`` errors with exponential
     backoff. Non-retryable errors propagate immediately, mirroring the
-    reference's sentinel-error check."""
+    reference's sentinel-error check.
+
+    Cancellation-aware on top of the reference semantics: each attempt
+    is a phase boundary (``raise_if_cancelled``), so a cancelled job
+    stops before its next attempt instead of sleeping through up to
+    500 backoffs (60 min each at the cap). A delivered signal already
+    interrupts the in-progress ``sleep`` via the handler's raise; the
+    boundary check covers PROGRAMMATIC ``request_cancel()``, which
+    sets the token without interrupting the main thread."""
+    from .cancel import raise_if_cancelled
+
     backoff = initial_backoff
     last: BaseException | None = None
     for _ in range(max_attempts):
+        raise_if_cancelled("retry attempt")
         try:
             return fn()
         except retryable as e:

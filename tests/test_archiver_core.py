@@ -153,6 +153,29 @@ class TestRetry:
         with pytest.raises(RetryableError):
             do_retry(fn, max_attempts=3, sleep=lambda s: None)
 
+    def test_programmatic_cancel_stops_before_next_attempt(self):
+        """Each attempt is a phase boundary: a programmatic
+        request_cancel() (which sets the token WITHOUT interrupting
+        the main thread, unlike a signal) must stop the loop at the
+        next boundary instead of sleeping through up to 500 backoffs
+        (60 min each at the cap)."""
+        from bend_archiver_spark import cancel
+
+        calls = []
+
+        def fn():
+            calls.append(1)
+            cancel.request_cancel()  # e.g. another thread cancels
+            raise RetryableError("sink down")
+
+        cancel.reset()
+        try:
+            with pytest.raises(cancel.JobCancelled):
+                do_retry(fn, sleep=lambda s: None)
+        finally:
+            cancel.reset()
+        assert calls == [1]  # no second attempt after the cancel
+
 
 class TestPostsync:
     def _cfg(self, dbtype="mysql", **kw):

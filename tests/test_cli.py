@@ -248,6 +248,38 @@ class TestCliCancellation:
         assert "FakePy4JError" in err
         assert "Traceback" not in err
 
+    def test_rewrapped_cancellation_exits_128(
+        self, cli_spark, sf_dir, tmp_path, monkeypatch, capsys
+    ):
+        """A swallowed JobCancelled can come back re-wrapped as a
+        plain RuntimeError (e.g. sink.py's delta guard chains
+        ``raise RuntimeError(...) from e``). With a recorded signal,
+        the generic job-failure branch must NOT claim it as rc=1 —
+        the run was cancelled, so it exits 128+signum."""
+        import signal
+
+        from bend_archiver_spark import cancel
+        from bend_archiver_spark.job import FileArchiveJob
+
+        def rewrapped_run(self, *a, **k):
+            cancel.request_cancel(signal.SIGTERM)
+            raise RuntimeError("delta-spark not available") from (
+                cancel.JobCancelled("received signal 15")
+            )
+
+        monkeypatch.setattr(FileArchiveJob, "run", rewrapped_run)
+        conf = _write_conf(tmp_path, tmp_path / "out_rewrap")
+        rc = cli.main(
+            [
+                "--conf", conf,
+                "--source-path", f"{sf_dir}/lineitem.parquet",
+            ]
+        )
+        assert rc == 128 + signal.SIGTERM
+        err = capsys.readouterr().err
+        assert "cancelled" in err
+        assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
     def test_non_signal_exception_still_raises(
         self, monkeypatch, tmp_path
     ):
