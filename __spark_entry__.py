@@ -279,6 +279,22 @@ _CHANGED_R09 = frozenset({
     # for the standalone query AND its curate_v2 composition, both
     # re-earn rows (hash-green at sf0.001 + sf0.01 post-change).
     "text_bigram_lm_bits", "pipeline_curate_v2",
+    # redundant-corpus-scan audit (late round 9): persist barriers on
+    # small derived tables collapsed measured re-scans — BPE word
+    # table (train 7 scans -> 1, encode 9 -> 2), substring-removal
+    # removed-positions table (6 -> 3), trigram TF table (4 -> 1),
+    # jaccard shingle stream (4 -> 1). Plans changed, all five
+    # re-earn rows (hash-green at sf0.001 + sf0.01 post-change).
+    "text_bpe_train_merges", "text_bpe_encode_corpus",
+    "dedup_exact_substring_removal", "text_tf_cosine_pairs",
+    "dedup_ngram_jaccard",
+    # second audit pass, barriers inside shared operators: per-key
+    # estimate table in sketch_gated_topk (cap_sketch 6 scans -> 4),
+    # quantized-vector table in cosine_pairs_lsh (embedding_cosine
+    # 4 -> 1, also semantic_keep_one), per-language counts in
+    # temperature_mix (5 -> 2). Plans changed for all four consumers.
+    "pipeline_per_source_cap_sketch", "dedup_embedding_cosine",
+    "dedup_semantic_keep_one", "pipeline_temperature_mix",
 })
 
 # NOT re-tiered in round 9, deliberately: the DuckDB-rounding fix

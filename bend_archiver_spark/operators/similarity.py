@@ -252,7 +252,13 @@ def cosine_pairs_lsh(
     Missed pairs are those colliding in no table — see
     :func:`lsh_table_buckets` for the recall model; for actual
     near-dups (cosine >= ~0.85) recall is effectively 1."""
-    v = quantized_vectors(df, id_col, vec_col)
+    # persist the quantized-vector table: it feeds the bucket
+    # derivation AND both verification sides, and without the barrier
+    # each consumer re-runs the scan+quantize — measured 4 embedding
+    # scans; with it, ONE (the bucket re-derivations off the cache are
+    # map-only). Same footprint as the vectors themselves; spills
+    # rather than OOMs. Callers clear cache between queries.
+    v = quantized_vectors(df, id_col, vec_col).persist()
     buckets = lsh_table_buckets(v.select("vec_id", "vq"), n_tables, n_planes, dim)
     a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
     b = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")

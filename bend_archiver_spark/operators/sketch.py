@@ -93,10 +93,16 @@ def sketch_gated_topk(
     with millions of mostly-tiny keys this keeps the skew machinery
     off the long tail without an exact count shuffle."""
     sk = count_min(df, part_col, depth=depth, width=width)
+    # persist the per-key estimate table (|keys| rows): it is
+    # broadcast into the routing join, and the routing join's output
+    # feeds BOTH the light and heavy routes — without the barrier each
+    # route re-runs the sketch build and the distinct-keys pass,
+    # measured 6 input scans for what needs 4 (sketch, keys, one scan
+    # per route). Callers clear cache between queries.
     est = estimate_counts(
         df.select(part_col).distinct(), sk, part_col,
         depth=depth, width=width,
-    )
+    ).persist()
     flagged = df.join(F.broadcast(est), part_col)
     light_w = Window.partitionBy(part_col).orderBy(*order_by)
     light = flagged.filter(F.col("est") <= k).withColumn(

@@ -180,9 +180,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash-LSH operator is verified against. Delegates to
     operators.dedup.jaccard_pairs."""
     d = t(spark, sf_dir, "documents")
-    return ops.jaccard_pairs(
-        ops.shingle(d, "doc_id", "text"), _JACCARD_THRESHOLD
-    )
+    # persist the shingle stream: jaccard_pairs consumes it three ways
+    # (sizes, both self-join sides) and without the barrier each
+    # consumer re-runs the corpus tokenize+explode — measured 4
+    # document scans; with it, ONE (the same barrier the MinHash
+    # pipeline keeps on its signature stream). Callers clear cache
+    # between queries.
+    toks = ops.shingle(d, "doc_id", "text").persist()
+    return ops.jaccard_pairs(toks, _JACCARD_THRESHOLD)
 
 
 # ---------------------------------------------------------------------

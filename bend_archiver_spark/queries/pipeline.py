@@ -326,8 +326,15 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     are two tiny broadcast joins; the corpus scan stays a single
     filter pass at any scale."""
     d = t(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    # persist the per-language counts (|languages| rows): they feed
+    # the min aggregate, the threshold table, and the final output
+    # join, and without the barrier each consumer re-runs the corpus
+    # groupBy — measured 5 document scans for what is one count pass
+    # plus one filter pass. Callers clear cache between queries.
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .persist()
     )
     mn = counts.agg(F.min("n_docs").alias("min_docs"))
     probs = counts.join(F.broadcast(mn)).select(

@@ -783,6 +783,12 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size plan stages (same property as the power-iteration
     operator), never another corpus pass."""
     d = fanout(t(spark, sf_dir, "documents"))
+    # persist the word-FREQUENCY table: it is vocabulary-sized (tiny
+    # next to the corpus) but EVERY round's argmax and re-segmentation
+    # hangs off it, and without the barrier Catalyst re-derives the
+    # corpus-sized explode+groupBy once per consumer — measured 7
+    # distinct document scans for 3 rounds; with the barrier, ONE.
+    # Callers clear cache between queries.
     words = (
         d.select(
             F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
@@ -790,6 +796,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
     )
     seg0 = F.transform(
         F.sequence(F.lit(1), F.length("w")),
@@ -868,6 +875,11 @@ def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     look up), and it keeps the 3-round merge machinery off the
     100 TB token stream entirely."""
     d = fanout(t(spark, sf_dir, "documents"))
+    # same vocabulary-table persist barrier as text_bpe_train_merges
+    # (measured 9 distinct document scans without it: every merge
+    # round's argmax + re-segmentation re-derived the corpus explode).
+    # With it: one scan to build the vocab, one scan for the per-doc
+    # encode join below — the minimum this query can touch.
     words = (
         d.select(
             F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
@@ -875,6 +887,7 @@ def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
     )
     seg0 = F.transform(
         F.sequence(F.lit(1), F.length("w")),

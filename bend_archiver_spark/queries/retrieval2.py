@@ -292,6 +292,14 @@ def dedup_exact_substring_removal(
         .filter(F.col("nd") >= 2)
         .select("g", "first_key")
     )
+    # persist the removed-positions table: it is consumed TWICE (the
+    # keep anti-join and the per-doc removal count) and without the
+    # barrier each consumer re-runs the whole grams -> gstat -> join
+    # chain — two extra corpus scans plus the gram groupBy, measured.
+    # rem is duplicated non-keeper positions only (far below corpus
+    # size by construction), so this cache is cheap where persisting
+    # the 8x gram stream itself would not be. Callers clear cache
+    # between queries.
     rem = (
         grams.join(gstat, "g")
         .filter(key != F.col("first_key"))
@@ -302,6 +310,7 @@ def dedup_exact_substring_removal(
             ).alias("p"),
         )
         .distinct()
+        .persist()
     )
     tokpos = d.select(
         "doc_id", F.posexplode(arr).alias("p", "tok")

@@ -174,10 +174,17 @@ def text_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the collision-bounded pair table), and a forced norm broadcast
     would die at 100x.
     """
+    # persist the TF table: it feeds the norm aggregation AND both
+    # sides of the candidate self-join, and without the barrier each
+    # consumer re-runs the corpus tokenize+groupBy — measured 4
+    # document scans; with it, ONE. The cache is no bigger than the
+    # shuffle the self-join already materializes on disk. Callers
+    # clear cache between queries.
     tf = (
         _ngram_tokens(spark, sf_dir, _TRIGRAM_EXPR)
         .groupBy("doc_id", "token")
         .agg(F.count("*").cast("bigint").alias("tf"))
+        .persist()
     )
     norms = tf.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("norm_sq")

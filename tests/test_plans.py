@@ -1054,9 +1054,20 @@ class TestStructuralBroadcastGuard:
             "left:['embeddings[vec_id < 10]']",
             "right:['embeddings[vec_id < 10]']",
         ],
+        # IVF: besides the probe set, the SEED CODEBOOK (init
+        # centroids = vectors with vec_id < 16 = _N_CELLS, a K x dim
+        # table) is broadcast into each E-step join. These two entries
+        # became visible in round 9 when the physical walk learned to
+        # cross the AdaptiveSparkPlanExec root below the
+        # explode_quantized persist barrier — they were always in the
+        # plan, just hidden behind the cache. Two occurrences because
+        # the E-step join subtree is shared (assignment + probe
+        # routing) and optimized plans are trees, not DAGs.
         "ann_ivf_topk": [
             "left:['embeddings[vec_id < 10]']",
             "right:['embeddings[vec_id < 10]']",
+            "right:['embeddings[vec_id < 16]']",
+            "right:['embeddings[vec_id < 16]']",
         ],
         "ann_topk_diversified": [
             "left:['embeddings[vec_id < 10]']",
@@ -1077,9 +1088,12 @@ class TestStructuralBroadcastGuard:
             "left:['embeddings[vec_id < 10]']",
             "right:['embeddings[vec_id < 10]']",
         ],
+        # same seed-codebook shape as ann_ivf_topk above
         "ann_ivf_fixed_codebook": [
             "left:['embeddings[vec_id < 10]']",
             "right:['embeddings[vec_id < 10]']",
+            "right:['embeddings[vec_id < 16]']",
+            "right:['embeddings[vec_id < 16]']",
         ],
         "embedding_knn_label_accuracy": [
             "left:['embeddings[vec_id < 100]']",
@@ -1087,6 +1101,11 @@ class TestStructuralBroadcastGuard:
         ],
         # histogram pairs: fixed probe rows against the corpus
         "embedding_distance_histogram": ["left:['embeddings[vec_id < 50]']"],
+        # fixed codebooks broadcast into the assignment/encode join —
+        # 8 centroids / 4-per-subspace PQ sub-codebook; surfaced by
+        # the round-9 AQE hop like the IVF seed codebooks above
+        "embedding_kmeans_assign": ["right:['embeddings[vec_id < 8]']"],
+        "embedding_pq_encode": ["right:['embeddings[vec_id < 4]']"],
     }
 
     # scale-linear tables: force-broadcasting any of these is a bug
@@ -1182,6 +1201,14 @@ class TestStructuralBroadcastGuard:
     def _unbounded_corpus_leaves_physical(cls, node, bounds=()) -> list[str]:
         """Same walk over a PHYSICAL subtree (cached-plan interiors)."""
         name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            # AQE roots cached plans; its children() is EMPTY (the
+            # wrapped plan is a field, not a child), so without this
+            # hop the walk returns [] below every persist barrier and
+            # a hinted corpus broadcast above a cache would pass
+            return cls._unbounded_corpus_leaves_physical(
+                node.inputPlan(), bounds
+            )
         if name in cls._BOUNDING_PHYSICAL:
             return []
         if name == "FilterExec":
@@ -1327,6 +1354,13 @@ class TestStructuralBroadcastGuard:
         Builds every logical plan, executes nothing. ~75s."""
         offenders = {}
         for name in REGISTRY:
+            # pins reflect each query's STANDALONE plan: several
+            # queries persist small derived tables, and a cached
+            # subtree left behind by query N substitutes an
+            # InMemoryRelation into any LATER query sharing an equal
+            # subtree — same per-query cache policy as bench.py and
+            # tests/oracle_compare.py
+            spark.catalog.clearCache()
             df = REGISTRY[name].spark(spark, sf_dir)
             bad = self._forced_corpus_broadcasts(
                 df._jdf.queryExecution().optimizedPlan()
