@@ -295,6 +295,13 @@ _CHANGED_R09 = frozenset({
     # temperature_mix (5 -> 2). Plans changed for all four consumers.
     "pipeline_per_source_cap_sketch", "dedup_embedding_cosine",
     "dedup_semantic_keep_one", "pipeline_temperature_mix",
+    # registry-wide audit (tools/scan_audit.py): the distinct
+    # (order, part) pair stream was re-derived by five consumers (5
+    # unbounded lineitem scans -> 1 with the barrier; the other eight
+    # flagged queries were adjudicated fine — bounded probe scans or
+    # AQE runtime ReusedExchange already dedupes their shared
+    # subtrees). Plan changed, re-earns a row.
+    "orders_basket_affinity",
 })
 
 # NOT re-tiered in round 9, deliberately: the DuckDB-rounding fix

@@ -1382,6 +1382,108 @@ class TestStructuralBroadcastGuard:
         )
 
 
+class TestScanCountGuard:
+    """Suite-wide cap on redundant corpus scans: no registered query
+    may read the SAME corpus table through more than three distinct
+    unbounded scan instances. The round-9 audits found nine queries
+    re-deriving a corpus-sized subtree once per consumer (BPE vocab
+    7-9 scans, basket-affinity pair stream 5) because a small derived
+    table lacked a persist barrier; this pins the fixed state so a
+    refactor can't silently reintroduce the N-scans shape.
+
+    Counting rules (mirror tools/scan_audit.py, but via a JVM tree
+    walk instead of the plan string, which truncates long lines):
+    - bounded scans (a constant comparison in the data filters, e.g.
+      ``vec_id < 10`` probe sets) are free — pushdown makes them
+      near-zero-cost at any scale — and are not counted;
+    - scan instances are deduplicated by their attribute expression
+      IDs, so a CACHED subtree reprinted at every reference (same
+      IDs) counts once, while a genuinely re-derived subtree (fresh
+      IDs from re-analysis) counts separately;
+    - three is the registry's current maximum, and every 3-count is
+      an inherent shape (TPC-H q21's triple lineitem, substring
+      removal's gram/keep/rebuild passes), not a missing barrier.
+    """
+
+    MAX_UNBOUNDED_SAME_TABLE = 3
+
+    # Queries whose inherent shape needs more than three same-table
+    # passes — pinned EXACTLY so a regression past today's count (or
+    # a new offender anywhere else) still fails:
+    # - cap_sketch: sketch build + distinct keys + light route +
+    #   heavy route, all over the RAW corpus — rescans beat caching
+    #   raw data (documented in operators/sketch.py);
+    # - curate_v2: composition of adjudicated stages — Gopher gate
+    #   (1) + bigram-LM token stream (1) + DSIR's three passes (doc
+    #   features, target features, vocabulary);
+    # - substring removal: gram chain inside the one-time persist
+    #   build (2, distinct analysis ids) + token-position rebuild +
+    #   keep anti-join side.
+    ALLOWED_SCAN_COUNTS = {
+        "pipeline_per_source_cap_sketch": {"documents": 4},
+        "pipeline_curate_v2": {"documents": 5},
+        "dedup_exact_substring_removal": {"documents": 4},
+    }
+
+    @classmethod
+    def _unbounded_scans(cls, node, acc):
+        g = TestStructuralBroadcastGuard
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            cls._unbounded_scans(node.inputPlan(), acc)
+            return acc
+        if name == "InMemoryTableScanExec":
+            cls._unbounded_scans(node.relation().cachedPlan(), acc)
+            return acc
+        if name == "FileSourceScanExec":
+            table = g._scan_table(node)
+            if table in g.CORPUS_TABLES and not g._CONST_BOUND_RE.search(
+                node.dataFilters().toString()
+            ):
+                # simpleString carries the output attrs WITH expr ids:
+                # cache reprints collapse, re-derivations don't
+                acc.add((table, node.simpleString(25)))
+            return acc
+        ch = node.children()
+        for i in range(ch.size()):
+            cls._unbounded_scans(ch.apply(i), acc)
+        subs = node.subqueriesAll()
+        for i in range(subs.size()):
+            cls._unbounded_scans(subs.apply(i), acc)
+        return acc
+
+    def test_no_query_rescans_a_corpus_table(self, spark, sf_dir):
+        from collections import Counter
+
+        offenders = {}
+        for name in REGISTRY:
+            # standalone-plan pins, same cache policy as the
+            # broadcast guard above
+            spark.catalog.clearCache()
+            df = REGISTRY[name].spark(spark, sf_dir)
+            scans = self._unbounded_scans(
+                df._jdf.queryExecution().executedPlan(), set()
+            )
+            per_table = Counter(t for t, _ in scans)
+            allowed = self.ALLOWED_SCAN_COUNTS.get(name, {})
+            hot = {
+                t: c
+                for t, c in per_table.items()
+                if c > max(
+                    self.MAX_UNBOUNDED_SAME_TABLE, allowed.get(t, 0)
+                )
+            }
+            if hot:
+                offenders[name] = hot
+        assert offenders == {}, (
+            "a corpus table is scanned unbounded more than "
+            f"{self.MAX_UNBOUNDED_SAME_TABLE}x in one query — usually a "
+            "missing persist barrier on a small multi-consumer derived "
+            "table (see COVERAGE.md round-9 scan audits): "
+            f"{offenders}"
+        )
+
+
 class TestBoundedWindowAudit:
     """Every ``Window.orderBy(...)`` WITHOUT a partitionBy in the
     package moves its whole input through a SinglePartition exchange —
