@@ -1393,9 +1393,11 @@ class TestScanCountGuard:
 
     Counting rules (mirror tools/scan_audit.py, but via a JVM tree
     walk instead of the plan string, which truncates long lines):
-    - bounded scans (a constant comparison in the data filters, e.g.
-      ``vec_id < 10`` probe sets) are free — pushdown makes them
-      near-zero-cost at any scale — and are not counted;
+    - bounded scans (a constant comparison on an ID-like column in
+      the data filters, e.g. ``vec_id < 10`` probe sets) are free —
+      pushdown makes them near-zero-cost at any scale — and are not
+      counted; constant bounds on VALUE columns still count (see
+      ``_ID_BOUND_RE``);
     - scan instances are deduplicated by their attribute expression
       IDs, so a CACHED subtree reprinted at every reference (same
       IDs) counts once, while a genuinely re-derived subtree (fresh
@@ -1418,12 +1420,22 @@ class TestScanCountGuard:
     #   features, target features, vocabulary);
     # - substring removal: gram chain inside the one-time persist
     #   build (2, distinct analysis ids) + token-position rebuild +
-    #   keep anti-join side.
+    #   keep anti-join side;
+    # - setops: EXCEPT ALL + INTERSECT ALL = two set operations, each
+    #   over two differently-filtered selections of lineitem.
     ALLOWED_SCAN_COUNTS = {
         "pipeline_per_source_cap_sketch": {"documents": 4},
         "pipeline_curate_v2": {"documents": 5},
         "dedup_exact_substring_removal": {"documents": 4},
+        "setops_all_lineitem": {"lineitem": 4},
     }
+
+    # A scan is "bounded" (free at any corpus scale) only when a
+    # pushed constant comparison hits an ID-LIKE column — the fixed
+    # probe/codebook sets (vec_id < 10, doc_id < 10). A constant
+    # bound on a VALUE column (l_quantity < 24) selects a corpus
+    # FRACTION, not a constant cardinality, and must still count.
+    _ID_BOUND_RE = re.compile(r"\w*(?:_id|key)#\d+L?\)?\s*(?:<=?|=)\s*\d+")
 
     @classmethod
     def _unbounded_scans(cls, node, acc):
@@ -1437,7 +1449,7 @@ class TestScanCountGuard:
             return acc
         if name == "FileSourceScanExec":
             table = g._scan_table(node)
-            if table in g.CORPUS_TABLES and not g._CONST_BOUND_RE.search(
+            if table in g.CORPUS_TABLES and not cls._ID_BOUND_RE.search(
                 node.dataFilters().toString()
             ):
                 # simpleString carries the output attrs WITH expr ids:
