@@ -14,6 +14,12 @@ distinct scan identities is usually missing a persist barrier on a
 small multi-consumer derived table (the round-9 audit found nine of
 these; see COVERAGE.md "Redundant-corpus-scan audit").
 
+This tool is the exploratory sweep; the ENFORCED pin lives in
+tests/test_plans.py::TestScanCountGuard, which walks the physical
+plan via the JVM (robust to plan-string truncation and cache
+reprints) and restricts "bounded" to id-like probe columns. Use this
+for quick triage, the test for the verdict.
+
 Usage:
     python tools/scan_audit.py                # all queries, flag >threshold
     python tools/scan_audit.py --threshold 3
