@@ -302,6 +302,19 @@ _CHANGED_R09 = frozenset({
     # AQE runtime ReusedExchange already dedupes their shared
     # subtrees). Plan changed, re-earns a row.
     "orders_basket_affinity",
+    # prefix-filtered exact set-similarity join (Vernica 2010): the
+    # no-candidates branch of jaccard_pairs now generates candidates
+    # from rarest-first token prefixes instead of the raw token
+    # self-join (quadratic in hot-token document frequency — the
+    # shape that exhausted 78 GB of oracle temp disk at 100x). The
+    # filter is EXACT, so results are bit-identical and the oracles
+    # are unchanged; proven vs the brute join at three thresholds +
+    # hot-token edge corpora (tests/test_operators.py), hash-green at
+    # sf0.001, sf0.01, and 10x. Plans changed for all six consumers
+    # (dedup_ngram_jaccard is already listed above).
+    "dedup_connected_components", "dedup_clusters_keep_one",
+    "dedup_source_priority_keep_one", "pipeline_leakage_safe_split",
+    "dedup_lsh_eval",
 })
 
 # NOT re-tiered in round 9, deliberately: the DuckDB-rounding fix

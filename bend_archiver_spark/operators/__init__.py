@@ -8,6 +8,7 @@ wraps these with fixed parameters for the correctness gate).
 from .dedup import (
     exact_dedup,
     jaccard_pairs,
+    prefix_filter_candidates,
     minhash_lsh_dedup,
     shingle,
     simhash_fingerprints,
@@ -29,6 +30,7 @@ __all__ = [
     "exact_dedup",
     "shingle",
     "jaccard_pairs",
+    "prefix_filter_candidates",
     "minhash_lsh_dedup",
     "simhash_fingerprints",
     "simhash_pairs",

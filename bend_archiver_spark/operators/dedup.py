@@ -16,6 +16,7 @@ __all__ = [
     "ngram_array",
     "exact_dedup",
     "shingle",
+    "prefix_filter_candidates",
     "jaccard_pairs",
     "minhash_lsh_dedup",
     "minhash_lsh_cross",
@@ -73,6 +74,55 @@ def shingle(
     )
 
 
+def prefix_filter_candidates(
+    toks: DataFrame, threshold: float
+) -> DataFrame:
+    """EXACT candidate generation for set-Jaccard >= *threshold* by
+    prefix filtering (Chaudhuri 2006; Vernica 2010, the MapReduce
+    set-similarity join): order each document's tokens globally
+    rarest-first, keep only the first ``n - ceil(t*n) + 1`` tokens,
+    and join documents that share a PREFIX token.
+
+    Exactness: J(A,B) >= t implies |A∩B| >= t*|A∪B| >= t*|A|, so at
+    least ceil(t*|A|) tokens are shared; in ANY total order a set
+    sharing that many elements must expose one within its first
+    |A| - ceil(t*|A|) + 1 — hence every qualifying pair collides on
+    some prefix token, and the candidate set is a strict superset of
+    the answer (no recall loss, unlike LSH banding).
+
+    Scale: the raw token-equality join is quadratic in per-token
+    document frequency — a hot shingle's posting list self-joins
+    (the shape that exhausted 78 GB of DuckDB temp disk at the 100x
+    rehearsal). Rarest-first ordering pushes exactly those hot
+    tokens OUT of the prefixes, so posting lists entering the join
+    are the short ones by construction. The epsilon inside ceil()
+    guards the float product from rounding UP past the true rational
+    bound (which would shorten a prefix and break exactness); an
+    epsilon too small only lengthens prefixes, which is safe."""
+    from pyspark.sql import Window
+
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w_doc.orderBy("df", "tok")))
+        .withColumn("n", F.count(F.lit(1)).over(w_doc))
+    )
+    plen = (
+        F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("rn") <= plen).select("doc_id", "tok")
+    return (
+        prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "tok"), "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     toks: DataFrame,
     threshold: float,
@@ -81,28 +131,34 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact set-Jaccard pairs over a shingle table (doc_id, tok).
     With ``candidates`` (doc_a, doc_b) the intersection join touches
-    candidate pairs only — the verification stage of MinHash-LSH; alone
-    it is the brute-force baseline (cost = shingle collisions).
-    ``sizes`` (doc_id, n) can be precomputed upstream (the MinHash
-    signature aggregation yields it for free) to skip one shuffle."""
+    candidate pairs only — the verification stage of MinHash-LSH.
+    Without, candidates come from :func:`prefix_filter_candidates`
+    (exact — identical output to the raw token self-join, without its
+    quadratic hot-token blowup). ``sizes`` (doc_id, n) can be
+    precomputed upstream (the MinHash signature aggregation yields it
+    for free) to skip one shuffle."""
+    if candidates is None:
+        # persist: the prefix machinery adds two more consumers of
+        # the token stream (global frequency + the ranked join) on
+        # top of sizes and both verify sides — without a barrier each
+        # one re-derives the corpus shingle explode. No-op if the
+        # caller already persisted. Callers clear cache between
+        # queries.
+        from pyspark import StorageLevel
+
+        if toks.storageLevel == StorageLevel.NONE:
+            toks = toks.persist()
+        candidates = prefix_filter_candidates(toks, threshold)
     if sizes is None:
         sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    if candidates is not None:
-        inter = (
-            candidates.join(ta, "doc_a")
-            .join(tb, ["doc_b", "tok"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-    else:
-        inter = (
-            ta.join(tb, "tok")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
+    inter = (
+        candidates.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_inter").cast("double") / (

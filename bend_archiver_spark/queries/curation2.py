@@ -215,8 +215,9 @@ def pipeline_leakage_safe_split(
     itself the spanning count is exactly zero by construction, pinned
     by a property test).
 
-    Scale shape: Jaccard pairs ride the shingle equi-join (bounded by
-    posting collisions, never O(n^2)); components is the iterative
+    Scale shape: Jaccard pairs ride the prefix-filtered candidate
+    join (rarest-first prefixes — exact, and hot tokens never enter
+    the join); components is the iterative
     min-label loop with checkpointed lineage (rounds bounded by
     cluster diameter); after that everything is two map-combinable
     groupBys over (component, split) then (split) — no window, no

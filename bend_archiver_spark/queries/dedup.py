@@ -176,16 +176,18 @@ def dedup_exact_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs (threshold 0.7, word
-    3-gram shingles) via shingle self-join — the brute-force baseline
-    the MinHash-LSH operator is verified against. Delegates to
-    operators.dedup.jaccard_pairs."""
+    3-gram shingles) — the exact baseline the MinHash-LSH operator is
+    verified against. Candidates come from the prefix filter (see
+    operators.dedup.prefix_filter_candidates), which is exact by
+    theorem, so the output is identical to the raw shingle self-join
+    the oracle runs — without its hot-token quadratic blowup."""
     d = t(spark, sf_dir, "documents")
-    # persist the shingle stream: jaccard_pairs consumes it three ways
-    # (sizes, both self-join sides) and without the barrier each
-    # consumer re-runs the corpus tokenize+explode — measured 4
-    # document scans; with it, ONE (the same barrier the MinHash
-    # pipeline keeps on its signature stream). Callers clear cache
-    # between queries.
+    # persist the shingle stream: jaccard_pairs consumes it many ways
+    # (global token frequency, the ranked prefix join, sizes, both
+    # verify sides) and without the barrier each consumer re-runs the
+    # corpus tokenize+explode. jaccard_pairs would add this barrier
+    # itself if missing; keeping it explicit here documents the scan
+    # shape. Callers clear cache between queries.
     toks = ops.shingle(d, "doc_id", "text").persist()
     return ops.jaccard_pairs(toks, _JACCARD_THRESHOLD)
 

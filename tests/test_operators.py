@@ -483,6 +483,107 @@ class TestCountMinSketch:
         )
 
 
+class TestPrefixFilterCandidates:
+    """The no-candidates branch of jaccard_pairs generates candidates
+    by prefix filtering (rarest-first token prefixes) instead of the
+    raw token-equality self-join. The filter is EXACT — a theorem,
+    not a recall model — so the contract is bit-identical output to
+    the brute join at every threshold, including corpora built to
+    stress it (a token shared by every document)."""
+
+    @staticmethod
+    def _brute(toks, threshold):
+        sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+        tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+        inter = (
+            ta.join(tb, "tok")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+        )
+        jac = F.col("n_inter").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("n_inter")
+        )
+        return (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    def test_identical_to_brute_on_corpus(self, spark, sf_dir):
+        from bend_archiver_spark.operators.dedup import (
+            jaccard_pairs,
+            shingle,
+        )
+        from bend_archiver_spark.tables import load_table
+
+        toks = shingle(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        )
+        for t in (0.5, 0.7, 0.9):
+            want = {tuple(r) for r in self._brute(toks, t).collect()}
+            got = {tuple(r) for r in jaccard_pairs(toks, t).collect()}
+            spark.catalog.clearCache()
+            assert got == want, f"threshold {t}"
+
+    def test_hot_token_and_unit_threshold(self, spark):
+        """Every document shares one ubiquitous token (the shape
+        whose posting self-join is quadratic); clone pairs must
+        surface with jaccard exactly 1.0, non-pairs must not, and
+        t=1.0 (prefix length 1: the single rarest token) stays
+        exact."""
+        from bend_archiver_spark.operators.dedup import jaccard_pairs
+
+        rows = []
+        for i in range(40):
+            rows += [(i, "HOT")] + [
+                (i, f"tok_{i}_{j}") for j in range(9)
+            ]
+        for g in range(5):
+            base = [f"g{g}_{j}" for j in range(9)] + ["HOT"]
+            rows += [(100 + g * 2, tk) for tk in base]
+            rows += [(101 + g * 2, tk) for tk in base]
+        toks = spark.createDataFrame(rows, ["doc_id", "tok"])
+        for t in (0.7, 1.0):
+            want = {tuple(r) for r in self._brute(toks, t).collect()}
+            got = {tuple(r) for r in jaccard_pairs(toks, t).collect()}
+            spark.catalog.clearCache()
+            assert got == want and len(got) == 5, f"threshold {t}"
+
+    def test_candidates_are_exact_superset(self, spark):
+        """Candidate pairs must contain EVERY qualifying pair (the
+        exactness direction) while excluding pairs sharing no prefix
+        token (the pruning direction — the 40 hot-only pairs)."""
+        from bend_archiver_spark.operators.dedup import (
+            prefix_filter_candidates,
+        )
+
+        rows = []
+        for i in range(10):
+            rows += [(i, "HOT")] + [
+                (i, f"tok_{i}_{j}") for j in range(9)
+            ]
+        rows += [(100, tk) for tk in ("HOT", "x1", "x2", "x3")]
+        rows += [(101, tk) for tk in ("HOT", "x1", "x2", "x4")]
+        toks = spark.createDataFrame(rows, ["doc_id", "tok"])
+        cand = {
+            tuple(r)
+            for r in prefix_filter_candidates(toks, 0.5).collect()
+        }
+        assert (100, 101) in cand  # J = 3/5 >= 0.5 must be reachable
+        # docs 0..9 share ONLY the ubiquitous token, which a 10-token
+        # doc's 0.5-prefix (10 - 5 + 1 = 6 rarest) never includes
+        assert not any(a < 10 and b < 10 for a, b in cand)
+
+
 class TestDedupInvariants:
     def _docs(self, spark):
         rows = [
