@@ -45,7 +45,7 @@ class TestSplitConditionProperties:
         span=st.integers(0, 10_000),
         probe=st.data(),
     )
-    @settings(max_examples=200)
+    @settings(max_examples=200, deadline=None)
     def test_every_key_covered_exactly_once(self, batch, lo, span, probe):
         hi = lo + span
         conds = split_condition("k", batch, lo, hi)
@@ -59,7 +59,7 @@ class TestSplitConditionProperties:
         extra=st.integers(0, 5000),
         probe=st.data(),
     )
-    @settings(max_examples=200)
+    @settings(max_examples=200, deadline=None)
     def test_streaming_variant_covered_exactly_once(
         self, batch, lo, span, extra, probe
     ):
@@ -103,7 +103,7 @@ class TestTimeWindowProperties:
         span_min=st.integers(0, 60 * 24 * 40),
         unit=st.sampled_from(["minute", "quarter", "hour", "day"]),
     )
-    @settings(max_examples=100)
+    @settings(max_examples=100, deadline=None)
     def test_windows_tile_the_range(self, start, span_min, unit):
         end = start + timedelta(minutes=span_min)
         conds = split_time_windows("t", unit, start, end)
@@ -140,7 +140,7 @@ class TestPlanProperties:
         batch=st.integers(1, 100_000),
         cap=st.integers(1, 500),
     )
-    @settings(max_examples=100)
+    @settings(max_examples=100, deadline=None)
     def test_partition_cap_always_respected(self, lo, span, rows, batch, cap):
         plan = plan_jdbc_partitions(
             "k", lo, lo + span, rows, batch_size=batch, max_partitions=cap
