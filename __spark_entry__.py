@@ -315,6 +315,15 @@ _CHANGED_R09 = frozenset({
     "dedup_connected_components", "dedup_clusters_keep_one",
     "dedup_source_priority_keep_one", "pipeline_leakage_safe_split",
     "dedup_lsh_eval",
+    # prefix filtering extended to the remaining two raw posting
+    # self-joins: the DIRECTED variant (contained-side prefix only,
+    # container side full — operators.dedup.
+    # prefix_filter_candidates_directed) for containment pairs, and
+    # the min-threshold (0.5) symmetric filter for the threshold
+    # curve. Both exact by the same theorem; proven vs brute joins
+    # (tests/test_operators.py::TestPrefixFilterDirected), hash-green
+    # at sf0.001 + sf0.01. Plans changed, both re-earn rows.
+    "dedup_containment_pairs", "dedup_threshold_curve",
 })
 
 # NOT re-tiered in round 9, deliberately: the DuckDB-rounding fix

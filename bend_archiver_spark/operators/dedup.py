@@ -123,6 +123,53 @@ def prefix_filter_candidates(
     )
 
 
+def prefix_filter_candidates_directed(
+    toks: DataFrame, threshold: float
+) -> DataFrame:
+    """EXACT candidate generation for directed containment
+    ``C(A->B) = |A∩B| / |A| >= threshold`` — the asymmetric variant of
+    :func:`prefix_filter_candidates`: only the CONTAINED side A is
+    prefix-reduced; B keeps its full token set, because the bound
+    ``|A∩B| >= ceil(t*|A|)`` says nothing about B's size.
+
+    Exactness: if all shared tokens avoided A's rarest-first prefix of
+    length ``|A| - ceil(t*|A|) + 1``, at most ``ceil(t*|A|) - 1`` of
+    them would fit in the remainder — fewer than the bound requires —
+    so some shared token sits in A's prefix and collides with B's full
+    set. Candidates are ordered (doc_a, doc_b) pairs, a != b, a strict
+    superset of every qualifying directed pair.
+
+    Scale: hot tokens are pushed out of the PREFIX side, so the join
+    cost is sum_tok(prefix_df * df) instead of the self-join's df^2 —
+    the quote/excerpt detector stays runnable when one boilerplate
+    shingle appears in half the corpus."""
+    from pyspark.sql import Window
+
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w_doc.orderBy("df", "tok")))
+        .withColumn("n", F.count(F.lit(1)).over(w_doc))
+    )
+    plen = (
+        F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    prefix = (
+        ranked.filter(F.col("rn") <= plen)
+        .select(F.col("doc_id").alias("doc_a"), "tok")
+    )
+    full = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    return (
+        prefix.join(full, "tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     toks: DataFrame,
     threshold: float,

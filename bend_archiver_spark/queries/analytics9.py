@@ -136,18 +136,16 @@ def agg_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curve_oracle() -> str:
-    from .dedup import _TOKS_SQL
+    from .dedup import _TOKS_SQL, _prefix_inter_sql
 
+    # prefix filter at the sweep's MINIMUM threshold (0.5): a pair
+    # missing from the candidates has J < 0.5 and can qualify no row
+    # of the curve, so the output is exact for every listed threshold
     return f"""
-    WITH toks AS ({_TOKS_SQL}),
+    WITH toks AS MATERIALIZED ({_TOKS_SQL}),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
               FROM toks GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(COUNT(*) AS BIGINT) AS n_inter
-      FROM toks a JOIN toks b
-        ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
+    {_prefix_inter_sql(0.5)},
     pairs AS (
       SELECT i.doc_a, i.doc_b, i.n_inter,
              sa.n + sb.n - i.n_inter AS n_union
@@ -185,18 +183,23 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     yield). n_docs counts the distinct documents touched by at least
     one qualifying pair (the candidate-removal pool; the exact
     removable count needs the ``dedup_clusters_keep_one``
-    connected-components pass)."""
+    connected-components pass). Pair candidates ride the prefix
+    filter at the sweep's MINIMUM threshold (0.5) — exact for every
+    listed threshold, since a non-candidate pair has J < 0.5 and can
+    qualify nowhere on the curve."""
+    from ..operators.dedup import prefix_filter_candidates
     from .dedup import _tokens
 
     toks = _tokens(spark, sf_dir, persist=True)
     sizes = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    cand = prefix_filter_candidates(toks, 0.5)
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
     inter = (
-        ta.join(tb, "tok")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
     )

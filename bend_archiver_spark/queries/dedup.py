@@ -63,6 +63,44 @@ _TOKS_SQL = r"""
 """
 
 
+def _prefix_inter_sql(threshold: float) -> str:
+    """CTE fragment ``tdf, pref, cand, inter`` — prefix-filtered EXACT
+    pair-intersection counting, the SQL mirror of
+    ``operators.dedup.prefix_filter_candidates`` (Chaudhuri 2006 /
+    Vernica 2010; same ``ceil(t*n - eps)`` prefix length, same
+    rarest-first ``(df, tok)`` total order). Expects a CTE named
+    ``toks`` (doc_id, tok) in scope — MATERIALIZED, since four
+    consumers re-inline it otherwise.
+
+    Exactness does not require the two engines to agree on candidate
+    sets (any valid prefix order yields a superset of the true pairs);
+    only the final thresholded pairs must match, and those are a
+    theorem. This replaces the raw ``toks a JOIN toks b ON a.tok =
+    b.tok`` self-join, which is quadratic in per-token document
+    frequency — the shape that exhausted 78 GB of DuckDB temp disk at
+    the 100x rehearsal — and is also ~2.5x faster at sf0.1."""
+    return f"""
+    tdf AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+    pref AS MATERIALIZED (
+      SELECT doc_id, tok FROM (
+        SELECT t.doc_id, t.tok,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                  ORDER BY d.df, t.tok) AS rn,
+               COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+        FROM toks t JOIN tdf d ON d.tok = t.tok)
+      WHERE rn <= n - CAST(ceil({threshold} * n - 1e-9) AS BIGINT) + 1),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY 1, 2)
+    """
+
+
 def _tokens(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
     """Distinct word 3-gram shingles per document (the dedup unit).
 
@@ -158,13 +196,9 @@ def dedup_exact_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH toks AS ({_TOKS_SQL}),
+    WITH toks AS MATERIALIZED ({_TOKS_SQL}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+    {_prefix_inter_sql(_JACCARD_THRESHOLD)}
     SELECT doc_a, doc_b,
            CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
     FROM inter
@@ -400,16 +434,13 @@ WITH RECURSIVE
 words AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
   FROM documents),
-toks AS (
+toks AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(0, greatest(len(arr) - 2, 0)),
                 i -> array_to_string(list_slice(arr, i + 1, i + 3), ' '))) AS tok
   FROM words),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
+""" + _prefix_inter_sql(_JACCARD_THRESHOLD) + r""",
 pairs AS (
   SELECT doc_a, doc_b FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a

@@ -55,11 +55,26 @@ _TOKS_SQL = r"""
 @register(
     "dedup_containment_pairs",
     oracle=f"""
-    WITH toks AS ({_TOKS_SQL}),
+    WITH toks AS MATERIALIZED ({_TOKS_SQL}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    tdf AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+    pref AS MATERIALIZED (
+      SELECT doc_id, tok FROM (
+        SELECT t.doc_id, t.tok,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                  ORDER BY d.df, t.tok) AS rn,
+               COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+        FROM toks t JOIN tdf d ON d.tok = t.tok)
+      WHERE rn <= n - CAST(ceil({_CONTAINMENT_THRESHOLD} * n - 1e-9)
+                           AS BIGINT) + 1),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT p.doc_id AS doc_a, f.doc_id AS doc_b
+      FROM pref p JOIN toks f ON f.tok = p.tok AND f.doc_id <> p.doc_id),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -76,21 +91,29 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shingle containment C(A->B) = |A∩B| / |A| >= 0.6 —
     the excerpt/quote detector Jaccard misses when |B| >> |A|
     (Broder 1997 defines both resemblance AND containment; near-dup
-    tooling usually ships only the former). Pairs come from the same
-    posting-list equi-join as ``dedup_ngram_jaccard`` (cost = gram
-    collisions, no cartesian); only the normalization differs: divide
-    by the CONTAINED side's shingle count instead of the union. At
-    100 TB the pair stream is restricted to LSH candidates via
-    ``operators.dedup.jaccard_pairs(candidates=...)`` exactly like
-    Jaccard verification."""
+    tooling usually ships only the former). Candidates come from the
+    DIRECTED prefix filter (operators.dedup.
+    prefix_filter_candidates_directed): only the contained side A is
+    prefix-reduced — exact by the same Chaudhuri/Vernica theorem, so
+    the output is identical to the raw posting-list self-join without
+    its hot-token quadratic blowup; only the normalization differs
+    from Jaccard: divide by the CONTAINED side's shingle count instead
+    of the union."""
     d = t(spark, sf_dir, "documents")
-    toks = ops.shingle(d, "doc_id", "text")
+    # persist: the directed prefix machinery adds the global token
+    # frequency and ranked-prefix consumers on top of sizes and both
+    # verify sides — without a barrier each re-derives the corpus
+    # shingle explode. Callers clear cache between queries.
+    toks = ops.shingle(d, "doc_id", "text").persist()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand = ops.prefix_filter_candidates_directed(
+        toks, _CONTAINMENT_THRESHOLD
+    )
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
     inter = (
-        ta.join(tb, "tok")
-        .filter(F.col("doc_a") != F.col("doc_b"))
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

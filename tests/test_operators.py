@@ -584,6 +584,97 @@ class TestPrefixFilterCandidates:
         assert not any(a < 10 and b < 10 for a, b in cand)
 
 
+class TestPrefixFilterDirected:
+    """Directed containment candidates (contained side prefix-reduced,
+    container side full): exact superset of every C(A->B) >= t pair,
+    proven bit-identical to the raw posting self-join."""
+
+    @staticmethod
+    def _brute(toks, threshold):
+        sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+        tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+        inter = (
+            ta.join(tb, "tok")
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+        )
+        cont = F.col("n_inter").cast("double") / F.col("n_a")
+        return (
+            inter.join(sa, "doc_a")
+            .select("doc_a", "doc_b", cont.alias("containment"))
+            .filter(F.col("containment") >= threshold)
+        )
+
+    @staticmethod
+    def _via_candidates(toks, threshold):
+        from bend_archiver_spark.operators.dedup import (
+            prefix_filter_candidates_directed,
+        )
+
+        cand = prefix_filter_candidates_directed(toks, threshold)
+        sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+        tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+        inter = (
+            cand.join(ta, "doc_a")
+            .join(tb, ["doc_b", "tok"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+        )
+        cont = F.col("n_inter").cast("double") / F.col("n_a")
+        return (
+            inter.join(sa, "doc_a")
+            .select("doc_a", "doc_b", cont.alias("containment"))
+            .filter(F.col("containment") >= threshold)
+        )
+
+    def test_identical_to_brute_on_corpus(self, spark, sf_dir):
+        from bend_archiver_spark.operators.dedup import shingle
+        from bend_archiver_spark.tables import load_table
+
+        toks = shingle(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        ).persist()
+        for t in (0.5, 0.6, 0.9, 1.0):
+            want = {tuple(r) for r in self._brute(toks, t).collect()}
+            got = {
+                tuple(r) for r in self._via_candidates(toks, t).collect()
+            }
+            assert got == want, f"threshold {t}"
+        spark.catalog.clearCache()
+
+    def test_asymmetric_excerpt_found_despite_hot_token(self, spark):
+        """A 4-token excerpt fully contained in a 40-token doc must
+        surface A->B (containment 1.0) but not B->A; docs sharing
+        only the ubiquitous token must generate no candidate pair
+        in the contained-side direction."""
+        rows = []
+        for i in range(30):
+            rows += [(i, "HOT")] + [(i, f"t_{i}_{j}") for j in range(9)]
+        rows += [(100, tk) for tk in ("HOT", "e1", "e2", "e3")]
+        rows += [(200, "HOT")] + [(200, f"big_{j}") for j in range(30)]
+        rows += [(200, tk) for tk in ("e1", "e2", "e3")]
+        toks = spark.createDataFrame(rows, ["doc_id", "tok"])
+        got = {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in self._via_candidates(toks, 0.6).collect()
+        }
+        want = {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in self._brute(toks, 0.6).collect()
+        }
+        assert got == want
+        assert got[(100, 200)] == 1.0 and (200, 100) not in got
+
+
 class TestDedupInvariants:
     def _docs(self, spark):
         rows = [

@@ -138,19 +138,29 @@ def build_full_corpus(n: int, out_dir: str) -> None:
             FROM '{SF01}/supplier.parquet' s, range({n}) t(r)""",
         "supplier",
     )
-    # p_name is caesar-shifted per replica (full-letter bijection:
-    # translate() with a rotated alphabet). A bijection preserves
-    # every INTRA-replica edit distance exactly, so fuzzy-match /
-    # SymSpell structure is identical per replica, while verbatim
-    # replication would give every part 10 exact-copy names and blow
-    # cross-replica fuzzy pairs up ~100x instead of 10x (found when
-    # text_fuzzy_match_parts overflowed the driver at the 10x sweep).
+    # p_name is letter-bijected per replica (translate() with an
+    # affine-permuted alphabet — the same x -> a*x + b mod 26 family
+    # as scale_rehearsal._caesar, reducing to the plain rotation for
+    # r < 26 so every <=26x corpus is byte-identical to before). A
+    # bijection preserves every INTRA-replica edit distance exactly,
+    # so fuzzy-match / SymSpell structure is identical per replica,
+    # while verbatim replication would give every part exact-copy
+    # names and blow cross-replica fuzzy pairs up quadratically
+    # (found when text_fuzzy_match_parts overflowed the driver at the
+    # 10x sweep; the pure rotation re-wraps at r = 26, found at 100x).
+    from tools.scale_rehearsal import _AFFINE_UNITS
+
     lower = "abcdefghijklmnopqrstuvwxyz"
     upper = lower.upper()
+
+    def affine_image(r: int) -> str:
+        a, b = _AFFINE_UNITS[(r // 26) % len(_AFFINE_UNITS)], r % 26
+        img = [(a * i + b) % 26 for i in range(26)]
+        return "".join(lower[i] for i in img) + "".join(upper[i] for i in img)
+
     name_case = " ".join(
         f"WHEN r = {r} THEN translate(p_name, "
-        f"'{lower + upper}', "
-        f"'{lower[r % 26:] + lower[: r % 26] + upper[r % 26:] + upper[: r % 26]}')"
+        f"'{lower + upper}', '{affine_image(r)}')"
         for r in range(1, n)
     )
     name_expr = f"CASE WHEN r = 0 THEN p_name {name_case} END" if n > 1 else "p_name"

@@ -65,15 +65,31 @@ QUERIES = [
 STOPWORDS = frozenset(("the", "a", "of", "and", "to", "in"))
 
 
+# Multiplicative units mod 26 — UNITS[0] = 1 so every replica r < 26
+# reduces to the plain caesar shift (corpora at scale <= 26 stay
+# byte-identical to what rounds 7-9 measured and hash-proved).
+_AFFINE_UNITS = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+
 def _caesar(word: str, r: int) -> str:
+    """Per-replica letter bijection: affine cipher x -> a*x + b mod 26
+    with a = UNITS[r // 26], b = r % 26. A pure caesar shift wraps at
+    r = 26, so past 26 replicas texts clone verbatim across replicas
+    and near-dup density grows QUADRATICALLY in shift-class size (the
+    100x-rehearsal artifact). Distinct (a, b) pairs give distinct
+    bijections for every r < 312, each preserving intra-replica edit
+    distances and shingle structure exactly — same reasons the shift
+    was chosen, now without the wrap."""
     if word.lower() in STOPWORDS:
         return word
+    a = _AFFINE_UNITS[(r // 26) % len(_AFFINE_UNITS)]
+    b = r % 26
     out = []
     for ch in word:
         if "a" <= ch <= "z":
-            out.append(chr((ord(ch) - 97 + r) % 26 + 97))
+            out.append(chr((a * (ord(ch) - 97) + b) % 26 + 97))
         elif "A" <= ch <= "Z":
-            out.append(chr((ord(ch) - 65 + r) % 26 + 65))
+            out.append(chr((a * (ord(ch) - 65) + b) % 26 + 65))
         else:
             out.append(ch)
     return "".join(out)
