@@ -324,6 +324,14 @@ _CHANGED_R09 = frozenset({
     # (tests/test_operators.py::TestPrefixFilterDirected), hash-green
     # at sf0.001 + sf0.01. Plans changed, both re-earn rows.
     "dedup_containment_pairs", "dedup_threshold_curve",
+    # two-level pigeonhole for simhash banding (4 wide blocks x
+    # radius-2 ball join instead of eleven 6-bit equality bands,
+    # which generated MORE collisions than the brute self-join at
+    # 500k docs: 1.45e9 vs 1.25e9, measured; two-level: 3.9e7).
+    # Equality to the direct join pinned at hamming 3/8/10
+    # (tests/test_operators.py); hash-green at sf0.001 + sf0.01.
+    # Plan changed, re-earns a row.
+    "dedup_simhash",
 })
 
 # NOT re-tiered in round 9, deliberately: the DuckDB-rounding fix

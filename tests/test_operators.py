@@ -230,6 +230,30 @@ class TestSimhashBanded:
         assert banded == direct
         assert len(direct) > 0
 
+    def test_both_branches_equal_direct(self, spark, sf_dir):
+        """hamming_max 3 keeps bands >= 12 bits wide (classic
+        equality-band branch); 10 forces the two-level ball branch;
+        8 exercises two-level at n_blocks = 3. All must equal the
+        direct self-join exactly."""
+        from bend_archiver_spark.operators import (
+            simhash_fingerprints,
+            simhash_pairs,
+            simhash_pairs_banded,
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        sims = simhash_fingerprints(docs, "doc_id", "text").persist()
+        for h in (3, 8, 10):
+            direct = {
+                (r.doc_a, r.doc_b, r.hamming)
+                for r in simhash_pairs(sims, h).collect()
+            }
+            banded = {
+                (r.doc_a, r.doc_b, r.hamming)
+                for r in simhash_pairs_banded(sims, h).collect()
+            }
+            assert banded == direct, f"hamming_max {h}"
+        sims.unpersist()
+
 
 class TestUdxfSurface:
     def test_udtf_null_and_empty_text(self, spark):
