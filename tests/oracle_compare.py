@@ -36,6 +36,14 @@ TABLES = [
 
 def duck_con(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
+    # Bound the oracle's memory and let it SPILL instead of ballooning:
+    # DuckDB's default limit is 80% of RAM (~100 GB here), and a heavy
+    # oracle (recursive CC over a 100x corpus) rides right up to it —
+    # the kernel OOM-killed the whole compare harness at 103 GB anon
+    # RSS twice during the 100x sweeps. 48 GB leaves room for the
+    # Spark driver JVM (24 GB heap) plus executor overhead on one box.
+    con.execute("SET memory_limit = '48GB'")
+    con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
