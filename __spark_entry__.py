@@ -323,6 +323,12 @@ _CHANGED_R09 = frozenset({
     # curve. Both exact by the same theorem; proven vs brute joins
     # (tests/test_operators.py::TestPrefixFilterDirected), hash-green
     # at sf0.001 + sf0.01. Plans changed, both re-earn rows.
+    # Additionally (same session), every prefix-filtered consumer —
+    # the four _CC_CTE queries, ngram_jaccard, containment, curve —
+    # now verifies on 60-bit HASHED shingles (hashed_shingle /
+    # _HTOKS_SQL, the minhash path's established convention): int64
+    # keys shuffle/spill ~3x less than trigram strings on both
+    # engines. Hash-green at sf0.001 + sf0.01 + 10x.
     "dedup_containment_pairs", "dedup_threshold_curve",
     # two-level pigeonhole for simhash banding (4 wide blocks x
     # radius-2 ball join instead of eleven 6-bit equality bands,

@@ -16,6 +16,7 @@ __all__ = [
     "ngram_array",
     "exact_dedup",
     "shingle",
+    "hashed_shingle",
     "prefix_filter_candidates",
     "jaccard_pairs",
     "minhash_lsh_dedup",
@@ -71,6 +72,29 @@ def shingle(
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("tok"))
         .distinct()
+    )
+
+
+def hashed_shingle(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """:func:`shingle` with each distinct shingle replaced by its
+    portable 60-bit hash: (doc_id, tok bigint).
+
+    The Jaccard/containment verification unit for scale paths — int64
+    keys shuffle and spill ~3x less than multi-word trigram strings,
+    and the prefix machinery's (df, tok) rarest-first order stays a
+    total order over bigints. Distinct-on-strings happens FIRST, so a
+    within-document hash collision merges two shingles identically on
+    both engines (same md5-derived hash in the DuckDB oracles);
+    cross-document collision odds are ~|toks|^2/2^61 — the same
+    accepted argument as the MinHash path's hashed verification
+    (minhash_lsh_dedup). The 100x rehearsal motivated this: trigram
+    STRING intermediates pushed the oracle's spill past the
+    container's disk."""
+    toks = shingle(df, id_col, text_col, n)
+    return toks.select(
+        "doc_id", hash64_expr(F.col("tok")).alias("tok")
     )
 
 

@@ -136,13 +136,13 @@ def agg_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curve_oracle() -> str:
-    from .dedup import _TOKS_SQL, _prefix_inter_sql
+    from .dedup import _HTOKS_SQL, _prefix_inter_sql
 
     # prefix filter at the sweep's MINIMUM threshold (0.5): a pair
     # missing from the candidates has J < 0.5 and can qualify no row
     # of the curve, so the output is exact for every listed threshold
     return f"""
-    WITH toks AS MATERIALIZED ({_TOKS_SQL}),
+    WITH toks AS MATERIALIZED ({_HTOKS_SQL}),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
               FROM toks GROUP BY doc_id),
     {_prefix_inter_sql(0.5)},
@@ -187,10 +187,11 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter at the sweep's MINIMUM threshold (0.5) — exact for every
     listed threshold, since a non-candidate pair has J < 0.5 and can
     qualify nowhere on the curve."""
-    from ..operators.dedup import prefix_filter_candidates
-    from .dedup import _tokens
+    from ..operators.dedup import hashed_shingle, prefix_filter_candidates
 
-    toks = _tokens(spark, sf_dir, persist=True)
+    toks = hashed_shingle(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).persist()
     sizes = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )

@@ -227,7 +227,7 @@ def pipeline_leakage_safe_split(
 
     d = t(spark, sf_dir, "documents")
     pairs = ops.jaccard_pairs(
-        ops.shingle(d, "doc_id", "text"), _JACCARD_THRESHOLD
+        ops.hashed_shingle(d, "doc_id", "text"), _JACCARD_THRESHOLD
     ).select("doc_a", "doc_b")
     comp = connected_components(pairs, d.select("doc_id"))
 

@@ -62,6 +62,16 @@ _TOKS_SQL = r"""
     FROM words
 """
 
+# hashed variant — the oracle twin of operators.dedup.hashed_shingle:
+# distinct on the STRING shingles first, then the portable 60-bit
+# hash, so both engines merge a within-document collision identically.
+# int64 keys keep the oracle's join/spill intermediates ~3x smaller
+# than trigram strings (the 100x CC-family oracles exceeded the
+# container's spill disk on strings).
+_HTOKS_SQL = f"""
+    SELECT doc_id, {hash64_sql('tok')} AS tok FROM ({_TOKS_SQL})
+"""
+
 
 def _prefix_inter_sql(threshold: float) -> str:
     """CTE fragment ``tdf, pref, cand, inter`` — prefix-filtered EXACT
@@ -99,22 +109,6 @@ def _prefix_inter_sql(threshold: float) -> str:
       JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
       GROUP BY 1, 2)
     """
-
-
-def _tokens(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
-    """Distinct word 3-gram shingles per document (the dedup unit).
-
-    ``persist=True`` caches the shingle set (MEMORY_AND_DISK) — the
-    MinHash pipeline references it four times (signatures, sizes,
-    both sides of the verification join); without caching Spark
-    re-explodes the corpus per reference. At 100 TB this becomes a
-    checkpoint to a staging table instead of executor cache.
-    """
-    d = t(spark, sf_dir, "documents")
-    arr = F.split(F.trim(F.lower("text")), r"\s+")
-    shingles = ops.ngram_array(arr, 3)
-    out = d.select("doc_id", F.explode(shingles).alias("tok")).distinct()
-    return out.persist() if persist else out
 
 
 # ---------------------------------------------------------------------
@@ -196,7 +190,7 @@ def dedup_exact_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH toks AS MATERIALIZED ({_TOKS_SQL}),
+    WITH toks AS MATERIALIZED ({_HTOKS_SQL}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
     {_prefix_inter_sql(_JACCARD_THRESHOLD)}
     SELECT doc_a, doc_b,
@@ -221,8 +215,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify sides) and without the barrier each consumer re-runs the
     # corpus tokenize+explode. jaccard_pairs would add this barrier
     # itself if missing; keeping it explicit here documents the scan
-    # shape. Callers clear cache between queries.
-    toks = ops.shingle(d, "doc_id", "text").persist()
+    # shape. Callers clear cache between queries. Hashed shingles:
+    # int64 join keys, ~3x less shuffle than trigram strings.
+    toks = ops.hashed_shingle(d, "doc_id", "text").persist()
     return ops.jaccard_pairs(toks, _JACCARD_THRESHOLD)
 
 
@@ -429,16 +424,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Connected components: pairs -> dedup clusters
 # ---------------------------------------------------------------------
 
-_CC_CTE = r"""
+_CC_CTE = rf"""
 WITH RECURSIVE
 words AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
   FROM documents),
-toks AS MATERIALIZED (
+stoks AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(0, greatest(len(arr) - 2, 0)),
                 i -> array_to_string(list_slice(arr, i + 1, i + 3), ' '))) AS tok
   FROM words),
+toks AS MATERIALIZED (
+  SELECT doc_id, {hash64_sql('tok')} AS tok FROM stoks),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
 """ + _prefix_inter_sql(_JACCARD_THRESHOLD) + r""",
 pairs AS (
@@ -485,7 +482,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     pairs = ops.jaccard_pairs(
-        ops.shingle(d, "doc_id", "text"), _JACCARD_THRESHOLD
+        ops.hashed_shingle(d, "doc_id", "text"), _JACCARD_THRESHOLD
     ).select("doc_a", "doc_b")
     comp = connected_components(pairs, d.select("doc_id"))
     return comp.withColumn(
@@ -518,7 +515,7 @@ def dedup_clusters_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     pairs = ops.jaccard_pairs(
-        ops.shingle(d, "doc_id", "text"), _JACCARD_THRESHOLD
+        ops.hashed_shingle(d, "doc_id", "text"), _JACCARD_THRESHOLD
     ).select("doc_a", "doc_b")
     comp = connected_components(pairs, d.select("doc_id"))
     survivors = comp.groupBy("component_id").agg(
@@ -637,7 +634,7 @@ def dedup_source_priority_keep_one(
 
     d = t(spark, sf_dir, "documents")
     pairs = ops.jaccard_pairs(
-        ops.shingle(d, "doc_id", "text"), _JACCARD_THRESHOLD
+        ops.hashed_shingle(d, "doc_id", "text"), _JACCARD_THRESHOLD
     ).select("doc_a", "doc_b")
     comp = connected_components(pairs, d.select("doc_id"))
     dd = comp.join(d.select("doc_id", "source"), "doc_id")

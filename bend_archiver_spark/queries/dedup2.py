@@ -55,7 +55,8 @@ _TOKS_SQL = r"""
 @register(
     "dedup_containment_pairs",
     oracle=f"""
-    WITH toks AS MATERIALIZED ({_TOKS_SQL}),
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {hash64_sql('tok')} AS tok FROM ({_TOKS_SQL})),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
     tdf AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
     pref AS MATERIALIZED (
@@ -103,8 +104,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the directed prefix machinery adds the global token
     # frequency and ranked-prefix consumers on top of sizes and both
     # verify sides — without a barrier each re-derives the corpus
-    # shingle explode. Callers clear cache between queries.
-    toks = ops.shingle(d, "doc_id", "text").persist()
+    # shingle explode. Callers clear cache between queries. Hashed
+    # shingles: int64 join keys, ~3x less shuffle than strings.
+    toks = ops.hashed_shingle(d, "doc_id", "text").persist()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     cand = ops.prefix_filter_candidates_directed(
         toks, _CONTAINMENT_THRESHOLD
