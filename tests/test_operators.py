@@ -608,6 +608,50 @@ class TestPrefixFilterCandidates:
         assert not any(a < 10 and b < 10 for a, b in cand)
 
 
+class TestHashedShingleParity:
+    def test_jaccard_identical_on_hashed_and_string_shingles(
+        self, spark, sf_dir
+    ):
+        """The scale path verifies on 60-bit hashed shingles
+        (int64 keys, ~3x less shuffle); absent collisions the pair
+        set and every jaccard value must match the string form
+        bit-for-bit — pinned on the corpus."""
+        from bend_archiver_spark.operators.dedup import (
+            hashed_shingle,
+            jaccard_pairs,
+            shingle,
+        )
+        from bend_archiver_spark.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        via_str = {
+            tuple(r)
+            for r in jaccard_pairs(
+                shingle(d, "doc_id", "text").persist(), 0.7
+            ).collect()
+        }
+        spark.catalog.clearCache()
+        via_hash = {
+            tuple(r)
+            for r in jaccard_pairs(
+                hashed_shingle(d, "doc_id", "text").persist(), 0.7
+            ).collect()
+        }
+        spark.catalog.clearCache()
+        assert via_hash == via_str and via_str
+
+    def test_hashed_shingle_schema(self, spark):
+        from bend_archiver_spark.operators.dedup import hashed_shingle
+
+        d = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+        )
+        out = hashed_shingle(d, "doc_id", "text")
+        assert dict(out.dtypes) == {"doc_id": "bigint", "tok": "bigint"}
+        # 2 distinct 3-gram shingles per 4-word doc
+        assert out.count() == 4
+
+
 class TestPrefixFilterDirected:
     """Directed containment candidates (contained side prefix-reduced,
     container side full): exact superset of every C(A->B) >= t pair,
