@@ -118,6 +118,23 @@ def run(
 
     for name in selected:
         spec = REGISTRY[name]
+        # oracle FIRST, Spark second: a heavy oracle spills to the
+        # same disk that holds the Spark session's shuffle files, and
+        # Spark only releases those when shuffle dependencies are
+        # GC'd — at the 100x rehearsal the CC-family oracles hit "No
+        # space left on device" purely because ~30 GB of the just-run
+        # Spark pass was still resident. Running the oracle before
+        # its Spark twin keeps the two disk peaks disjoint.
+        duck_pdf, t_duck = None, 0.0
+        if spec.oracle is not None:
+            t1 = _time.monotonic()
+            try:
+                duck_pdf = con.execute(spec.oracle).df()
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL  {name}: duckdb error: {e}")
+                ok = False
+                continue
+            t_duck = _time.monotonic() - t1
         t0 = _time.monotonic()
         try:
             spark_pdf = spec.spark(spark, sf_dir).toPandas()
@@ -136,14 +153,6 @@ def run(
         if spec.oracle is None:
             print(f"rows-only  {name}: {len(spark_pdf)} rows  [spark {t_spark:.1f}s]")
             continue
-        t1 = _time.monotonic()
-        try:
-            duck_pdf = con.execute(spec.oracle).df()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {e}")
-            ok = False
-            continue
-        t_duck = _time.monotonic() - t1
         res = compare_frames(spark_pdf, duck_pdf)
         status = "OK  " if (res["rows_match"] and res["cols_match"] and res["values_match"]) else "FAIL"
         if status == "FAIL":
