@@ -39,7 +39,7 @@ from .quality2 import _GOPHER_ORACLE, gopher_flags
 
 _CURATE_DEDUP_ORACLE = rf"""
 WITH gm AS ({_GOPHER_ORACLE}),
-base AS (
+base AS MATERIALIZED (
   SELECT d.doc_id, d.source, d.text, gm.n_words, gm.keep
   FROM documents d JOIN gm USING (doc_id)),
 dq AS (SELECT doc_id, text FROM base WHERE keep),
@@ -51,10 +51,11 @@ toks AS (
   FROM (SELECT doc_id,
                string_split_regex(trim(lower(text)), '\s+') AS arr
         FROM dq)),
-h AS (SELECT doc_id, ({hash64_sql('tok')} % {_P}) AS hv FROM toks),
+h AS MATERIALIZED (
+  SELECT doc_id, ({hash64_sql('tok')} % {_P}) AS hv FROM toks),
 {_minhash_sig_sql()},
-bands AS ({_band_union_sql()}),
-cand AS (
+bands AS MATERIALIZED ({_band_union_sql()}),
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key

@@ -73,7 +73,9 @@ _HTOKS_SQL = f"""
 """
 
 
-def _prefix_inter_sql(threshold: float) -> str:
+def _prefix_inter_sql(
+    threshold: float, materialize_inter: bool = False
+) -> str:
     """CTE fragment ``tdf, pref, cand, inter`` — prefix-filtered EXACT
     pair-intersection counting, the SQL mirror of
     ``operators.dedup.prefix_filter_candidates`` (Chaudhuri 2006 /
@@ -88,7 +90,12 @@ def _prefix_inter_sql(threshold: float) -> str:
     theorem. This replaces the raw ``toks a JOIN toks b ON a.tok =
     b.tok`` self-join, which is quadratic in per-token document
     frequency — the shape that exhausted 78 GB of DuckDB temp disk at
-    the 100x rehearsal — and is also ~2.5x faster at sf0.1."""
+    the 100x rehearsal — and is also ~2.5x faster at sf0.1.
+
+    ``materialize_inter`` additionally pins ``inter`` — required when
+    the fragment sits inside a WITH RECURSIVE (the recursive planner
+    re-executes inlined members per iteration; see _CC_CTE)."""
+    inter_kw = "AS MATERIALIZED" if materialize_inter else "AS"
     return f"""
     tdf AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
     pref AS MATERIALIZED (
@@ -102,7 +109,7 @@ def _prefix_inter_sql(threshold: float) -> str:
     cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
-    inter AS (
+    inter {inter_kw} (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
       FROM cand c
       JOIN toks ta ON ta.doc_id = c.doc_a
@@ -424,31 +431,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Connected components: pairs -> dedup clusters
 # ---------------------------------------------------------------------
 
+# Every member is MATERIALIZED and the recursion's base case reads a
+# materialized node list: DuckDB's recursive-CTE planner re-executes
+# inlined (and even some hinted) members per iteration — the staged
+# pipeline runs in ~30 s at 100x while the same query with default
+# inlining re-derived the corpus until it exhausted spill disk. The
+# full-materialization form completes at 100x (385 s); at the
+# driver's sf0.01 the hint overhead is microseconds.
 _CC_CTE = rf"""
 WITH RECURSIVE
+nodes AS MATERIALIZED (SELECT doc_id FROM documents),
 words AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
   FROM documents),
-stoks AS (
+stoks AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(0, greatest(len(arr) - 2, 0)),
                 i -> array_to_string(list_slice(arr, i + 1, i + 3), ' '))) AS tok
   FROM words),
 toks AS MATERIALIZED (
   SELECT doc_id, {hash64_sql('tok')} AS tok FROM stoks),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
-""" + _prefix_inter_sql(_JACCARD_THRESHOLD) + r""",
-pairs AS (
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+""" + _prefix_inter_sql(_JACCARD_THRESHOLD, materialize_inter=True) + r""",
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
   WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.7),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
   SELECT doc_b AS a, doc_a AS b FROM pairs),
 reach(node, r) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM nodes
   UNION
   SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
 comp AS (SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node)
