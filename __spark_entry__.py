@@ -340,6 +340,44 @@ _CHANGED_R09 = frozenset({
     "dedup_simhash",
 })
 
+# Queries with a driver-green CORRECTNESS_r09 row (50/50 hash_match:
+# every _CHANGED_R08/_CHANGED_R09 member plus the stalest r01/r03-era
+# re-confirmations the rotation emitted).
+_GREEN_R09 = frozenset({
+    "agg_approx_distinct_users", "agg_argmax_orders",
+    "agg_collect_sorted", "agg_gini_revenue",
+    "agg_percentiles_orders", "agg_stats_manual",
+    "conditional_funcs_customers", "cube_flag_status",
+    "dedup_clusters_keep_one", "dedup_connected_components",
+    "dedup_containment_pairs", "dedup_embedding_cosine",
+    "dedup_exact_substring_removal", "dedup_lsh_eval",
+    "dedup_ngram_jaccard", "dedup_semantic_keep_one",
+    "dedup_simhash", "dedup_source_priority_keep_one",
+    "dedup_threshold_curve", "diagnose_key_skew",
+    "embedding_label_stats", "grouping_sets_orders",
+    "join_salted_skew", "map_funcs_events",
+    "orders_basket_affinity", "pipeline_curate_v2",
+    "pipeline_leakage_safe_split", "pipeline_per_source_cap_sketch",
+    "pipeline_temperature_mix", "profile_columns_orders",
+    "range_join_value_buckets", "session_window_native",
+    "setops_all_lineitem", "streaming_window_counts",
+    "subquery_scalar_above_avg", "text_bigram_lm_bits",
+    "text_bpe_encode_corpus", "text_bpe_train_merges",
+    "text_fuzzy_match_parts", "text_quality_scores",
+    "text_tf_cosine_pairs", "timeseries_gapfill_daily",
+    "timeseries_moving_avg", "tpch_q12_priority_class",
+    "tpch_q13_order_distribution", "tpch_q22_idle_high_balance",
+    "unpivot_lineitem_metrics", "window_lag_lead_orders",
+    "window_range_sliding_revenue", "window_rank_metrics",
+})
+
+# Round 10 changed NO registered Spark plans: the simhash two-level
+# block-width clamp (operators/dedup.py) only alters expressions on
+# the non-dividing path that no registered query takes — the
+# registered dedup_simhash optimized plan was diffed byte-identical
+# before/after (constant folding absorbs the rewritten literals).
+_CHANGED_R10 = frozenset()
+
 # NOT re-tiered in round 9, deliberately: the DuckDB-rounding fix
 # (CAST(dec AS VARCHAR) AS DOUBLE hop, 52 oracle strings + the
 # o_dec_sum/o_dec_avg helpers) and the MATERIALIZED-CTE rewrite of the
@@ -353,15 +391,16 @@ _CHANGED_R09 = frozenset({
 _CHECKED_GOOD = (
     (
         _GREEN_R01 | _GREEN_R03 | _GREEN_R04 | _GREEN_R05 | _GREEN_R06
-        | _GREEN_R08
+        | _GREEN_R08 | _GREEN_R09
     )
-    - _CHANGED_R08
-    - _CHANGED_R09
+    - _CHANGED_R10
 ) | _ROWS_ONLY_BY_DESIGN
 
 
 def _staleness_round(name: str) -> int:
     """Most recent round with a green driver row for *name* (0 = never)."""
+    if name in _GREEN_R09:
+        return 9
     if name in _GREEN_R08:
         return 8
     if name in _GREEN_R06:

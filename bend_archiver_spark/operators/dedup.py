@@ -84,9 +84,12 @@ def hashed_shingle(
     The Jaccard/containment verification unit for scale paths — int64
     keys shuffle and spill ~3x less than multi-word trigram strings,
     and the prefix machinery's (df, tok) rarest-first order stays a
-    total order over bigints. Distinct-on-strings happens FIRST, so a
-    within-document hash collision merges two shingles identically on
-    both engines (same md5-derived hash in the DuckDB oracles);
+    total order over bigints. Distinct-on-strings happens FIRST;
+    a within-document hash collision therefore yields two (doc_id,
+    tok) rows with the same tok value — neither engine re-distincts
+    after hashing, so the duplicate rows inflate COUNT-based sizes
+    and intersections IDENTICALLY on both sides (same md5-derived
+    hash in the DuckDB oracles) and pair-level parity holds;
     cross-document collision odds are ~|toks|^2/2^61 — the same
     accepted argument as the MinHash path's hashed verification
     (minhash_lsh_dedup). The 100x rehearsal motivated this: trigram
@@ -545,9 +548,26 @@ def simhash_pairs_banded(
         )
     else:
         n_blocks = max(1, -(-n_bands // 3))  # ceil((h+1)/3) -> r <= 2
+        n_blocks = min(n_blocks, bits)  # every block must own >= 1 bit
         radius = hamming_max // n_blocks
-        width = (bits + n_blocks - 1) // n_blocks
-        mask = (1 << width) - 1
+        base, rem = divmod(bits, n_blocks)
+        if rem == 0:
+            # uniform-width fast path (the registered 60/4 config):
+            # constant fold-able offsets/masks, no padding bits exist
+            bw_sql = str(base)
+            off_sql = f"(block_idx * {base})"
+        else:
+            # balanced widths: first `rem` blocks get base+1 bits —
+            # the blocks PARTITION the fingerprint exactly, so the
+            # ball never flips padding bits beyond the real block
+            # width (which would generate candidates that can never
+            # match the identity side — wasted explode/join work)
+            bw_sql = (
+                f"({base} + CASE WHEN block_idx < {rem}"
+                f" THEN 1 ELSE 0 END)"
+            )
+            off_sql = f"(block_idx * {base} + LEAST(block_idx, {rem}))"
+        mask_sql = f"(shiftleft(1L, {bw_sql}) - 1)"
         blocks = sims.select(
             "doc_id",
             "simhash",
@@ -558,9 +578,7 @@ def simhash_pairs_banded(
             "doc_id",
             "simhash",
             "block_idx",
-            F.expr(f"(simhash >> (block_idx * {width})) & {mask}").alias(
-                "v"
-            ),
+            F.expr(f"(simhash >> {off_sql}) & {mask_sql}").alias("v"),
         )
         # radius-r ball of v as an array expression (r <= 2 by
         # construction: identity + single flips + ordered double
@@ -568,14 +586,21 @@ def simhash_pairs_banded(
         ball_terms = ["array(v)"]
         if radius >= 1:
             ball_terms.append(
-                f"transform(sequence(0, {width - 1}),"
+                f"transform(sequence(0, {bw_sql} - 1),"
                 f" i -> v ^ shiftleft(1L, i))"
             )
         if radius >= 2:
-            ball_terms.append(
-                f"flatten(transform(sequence(0, {width - 2}), i ->"
-                f" transform(sequence(i + 1, {width - 1}), j ->"
+            # guard bw = 1: sequence(0, -1) would enumerate [0, -1]
+            double = (
+                f"flatten(transform(sequence(0, {bw_sql} - 2), i ->"
+                f" transform(sequence(i + 1, {bw_sql} - 1), j ->"
                 f" v ^ shiftleft(1L, i) ^ shiftleft(1L, j))))"
+            )
+            ball_terms.append(
+                f"CASE WHEN {bw_sql} >= 2 THEN {double}"
+                f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
+                if base < 2
+                else double
             )
         ball = F.expr(f"concat({', '.join(ball_terms)})")
         ba = blocks.select(

@@ -125,15 +125,17 @@ def run(
         # space left on device" purely because ~30 GB of the just-run
         # Spark pass was still resident. Running the oracle before
         # its Spark twin keeps the two disk peaks disjoint.
-        duck_pdf, t_duck = None, 0.0
+        duck_pdf, t_duck, duck_err = None, 0.0, None
         if spec.oracle is not None:
             t1 = _time.monotonic()
             try:
                 duck_pdf = con.execute(spec.oracle).df()
             except Exception as e:  # noqa: BLE001
-                print(f"FAIL  {name}: duckdb error: {e}")
+                # record but DON'T skip the Spark twin: an oracle
+                # failure must not be able to hide a Spark-side
+                # regression behind it (the comparison still fails)
+                duck_err = e
                 ok = False
-                continue
             t_duck = _time.monotonic() - t1
         t0 = _time.monotonic()
         try:
@@ -150,6 +152,12 @@ def run(
             # bench.py)
             spark.catalog.clearCache()
         t_spark = _time.monotonic() - t0
+        if duck_err is not None:
+            print(
+                f"FAIL  {name}: duckdb error: {duck_err}  "
+                f"[spark side OK, {len(spark_pdf)} rows, {t_spark:.1f}s]"
+            )
+            continue
         if spec.oracle is None:
             print(f"rows-only  {name}: {len(spark_pdf)} rows  [spark {t_spark:.1f}s]")
             continue

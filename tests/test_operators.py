@@ -254,6 +254,38 @@ class TestSimhashBanded:
             assert banded == direct, f"hamming_max {h}"
         sims.unpersist()
 
+    def test_two_level_nondividing_widths_equal_direct(
+        self, spark, sf_dir
+    ):
+        """bits that n_blocks does NOT evenly divide: 58 bits over 4
+        blocks -> balanced widths 15/15/14/14 (the clamped path — the
+        old uniform-stride code flipped padding bits past the
+        fingerprint in the last block), 7 bits over 2 blocks ->
+        widths 4/3, and the degenerate 5 bits over 3 blocks ->
+        widths 2/2/1 whose 1-bit block exercises the bw>=2 CASE
+        guard around the double-flip term. All must equal the
+        direct self-join exactly."""
+        from bend_archiver_spark.operators import (
+            simhash_fingerprints,
+            simhash_pairs,
+            simhash_pairs_banded,
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        for bits, h in ((58, 10), (7, 4), (5, 6)):
+            sims = simhash_fingerprints(
+                docs, "doc_id", "text", bits=bits
+            ).persist()
+            direct = {
+                (r.doc_a, r.doc_b, r.hamming)
+                for r in simhash_pairs(sims, h).collect()
+            }
+            banded = {
+                (r.doc_a, r.doc_b, r.hamming)
+                for r in simhash_pairs_banded(sims, h, bits=bits).collect()
+            }
+            assert banded == direct, f"bits {bits} hamming_max {h}"
+            sims.unpersist()
+
 
 class TestUdxfSurface:
     def test_udtf_null_and_empty_text(self, spark):

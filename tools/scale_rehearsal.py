@@ -82,6 +82,15 @@ def _caesar(word: str, r: int) -> str:
     was chosen, now without the wrap."""
     if word.lower() in STOPWORDS:
         return word
+    # the (a, b) family is bijective only for r < 26*12 = 312; past
+    # that the `% len(_AFFINE_UNITS)` would silently re-clone text
+    # across replicas — the exact artifact this cipher replaced at
+    # r = 26. Fail loudly instead of wrapping.
+    assert r < 26 * len(_AFFINE_UNITS), (
+        f"replica {r} exceeds the 312 distinct affine bijections; "
+        "extend _AFFINE_UNITS (e.g. a second alphabet transform) "
+        "before building corpora past 312x"
+    )
     a = _AFFINE_UNITS[(r // 26) % len(_AFFINE_UNITS)]
     b = r % 26
     out = []
