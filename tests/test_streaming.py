@@ -181,3 +181,103 @@ class TestStreamingJoins:
             and batch.exceptAll(got).count() == 0
         )
         shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+class TestFailureInjection:
+    def test_failing_once_foreachbatch_stays_exactly_once(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A foreachBatch writer that dies MID-BATCH — after its write,
+        before the checkpoint commit (the worst crash point: the
+        batch's effects are already on disk). The restart must replay
+        the SAME batch id, and an idempotent-per-batch_id writer
+        (overwrite into the batch's own directory) must leave sink
+        counts exactly-once. This is the failure-injection twin of
+        test_backlog_then_incremental_exactly_once, which only ever
+        restarts between clean batches."""
+        import pytest
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        src = str(tmp_path / "fsrc")
+        tgt = str(tmp_path / "ftgt")
+        ckpt = str(tmp_path / "fckpt")
+        events = load_table(spark, sf_dir, "events").filter("event_id < 300")
+        n_src = events.count()
+        schema = events.schema
+        events.write.mode("append").parquet(src)
+
+        seen: list[int] = []  # every (re)invocation's batch_id, in order
+
+        def write_batch(df, batch_id: int) -> None:
+            # idempotent per batch_id: each batch owns a directory and
+            # OVERWRITES it, so a replay rewrites identical content
+            # instead of appending a duplicate
+            df.write.mode("overwrite").parquet(f"{tgt}/batch={batch_id}")
+            first_invocation = not seen
+            seen.append(batch_id)
+            if first_invocation:
+                raise RuntimeError("injected mid-batch failure")
+
+        q = incremental_archive(
+            spark, src, tgt, schema, ckpt, foreach_batch=write_batch
+        )
+        with pytest.raises(StreamingQueryException, match="injected"):
+            q.awaitTermination(120)
+
+        # restart with the same checkpoint: Spark replays the batch id
+        # whose commit never landed
+        q2 = incremental_archive(
+            spark, src, tgt, schema, ckpt, foreach_batch=write_batch
+        )
+        q2.awaitTermination(120)
+
+        assert len(seen) >= 2 and seen[1] == seen[0], seen
+        got = spark.read.parquet(tgt)
+        assert got.count() == n_src
+        assert got.select("event_id").distinct().count() == n_src
+        shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+    def test_failing_once_blind_append_duplicates(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Regression fence around incremental_archive's documented
+        at-least-once caveat for NON-idempotent foreachBatch writers:
+        a blind append that dies after writing IS duplicated by the
+        replay. If this ever stops duplicating, the engine's replay
+        contract changed and the docstring (and the idempotent-writer
+        requirement above) must be revisited."""
+        import pytest
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        src = str(tmp_path / "bsrc")
+        tgt = str(tmp_path / "btgt")
+        ckpt = str(tmp_path / "bckpt")
+        events = load_table(spark, sf_dir, "events").filter("event_id < 100")
+        n_src = events.count()
+        schema = events.schema
+        events.write.mode("append").parquet(src)
+
+        failed: list[int] = []
+
+        def blind_append(df, batch_id: int) -> None:
+            df.write.mode("append").parquet(tgt)
+            if not failed:
+                failed.append(batch_id)
+                raise RuntimeError("injected mid-batch failure")
+
+        q = incremental_archive(
+            spark, src, tgt, schema, ckpt, foreach_batch=blind_append
+        )
+        with pytest.raises(StreamingQueryException, match="injected"):
+            q.awaitTermination(120)
+        q2 = incremental_archive(
+            spark, src, tgt, schema, ckpt, foreach_batch=blind_append
+        )
+        q2.awaitTermination(120)
+        # the replayed batch appended a second copy of every row
+        assert spark.read.parquet(tgt).count() == 2 * n_src
+        shutil.rmtree(str(tmp_path), ignore_errors=True)
