@@ -73,6 +73,39 @@ _R07_ANCHOR = {
 _GATE_ANCHOR = {**_R01_ANCHOR, **_R07_ANCHOR}
 _REGRESSION_FACTOR = 2.0
 
+# sf1 anchors (round-10 idle-machine MEDIANS against the 10x
+# scale-correctness corpus, symlinked so the sf parser reads 1.0;
+# BENCH_sf1_r09 had numbers but no gate). Same 2x factor, applied
+# when the suite runs at sf=1.0 — a 10x-data constant-factor cliff
+# now fails loudly in the artifact exactly like an sf0.1 regression.
+# archive_sync is single-iteration (it writes real data), so its
+# anchor carries the full run-to-run spread; the others are
+# 3-iteration medians.
+_SF1_R10_ANCHOR = {
+    "split_key_buckets": 0.425,
+    "split_time_buckets": 0.574,
+    "tpch_q1": 0.888,
+    "tpch_q3_topk": 0.666,
+    "tpch_q5_region_revenue": 0.858,
+    "tpch_q6_revenue": 0.122,
+    "window_top_orders_per_customer": 0.535,
+    "sessionize_events": 0.650,
+    "text_token_stats": 0.907,
+    "dedup_minhash_lsh": 2.843,
+    "dedup_cross_corpus_minhash": 0.690,
+    "ann_topk_bruteforce": 0.360,
+    "pipeline_curate_documents": 1.415,
+    "pipeline_curate_v2": 3.063,
+    "pipeline_cdc_chunks": 0.756,
+    "graph_pagerank_event_types": 0.404,
+    "graph_triangle_count": 0.175,
+    "agg_histogram_quantile": 0.764,
+    "profile_ks_drift": 0.122,
+    "verify_block_fingerprints": 0.797,
+    "agg_gini_revenue": 1.026,
+    "archive_sync": 5.655,
+}
+
 
 def _sample_stats(samples: list[float]) -> dict[str, float]:
     """(best, median, spread) over the run's iterations. The spread
@@ -99,12 +132,18 @@ def find_regressions(
     sf: float,
     stats: dict[str, dict[str, float]] | None = None,
 ) -> dict:
-    """Headline queries slower than 2x their r01 anchor. Empty dict =
-    gate green. Only meaningful at the anchor's own scale (sf0.1).
-    When per-query stats are available the gate compares the MEDIAN —
-    a lucky best-of-3 must not mask a real 2x regression that two of
-    three iterations show."""
-    if sf != 0.1:
+    """Headline queries slower than 2x their anchor. Empty dict =
+    gate green. Only meaningful at an anchor's own scale: sf0.1
+    gates against the r01/r07 anchors, sf1 against the r10 sf1
+    anchors (the 10x scale-correctness corpus). When per-query stats
+    are available the gate compares the MEDIAN — a lucky best-of-3
+    must not mask a real 2x regression that two of three iterations
+    show."""
+    if sf == 0.1:
+        anchors = _GATE_ANCHOR
+    elif sf == 1.0:
+        anchors = _SF1_R10_ANCHOR
+    else:
         return {}
     gate_value = {
         name: (stats or {}).get(name, {}).get("median", sec)
@@ -114,12 +153,12 @@ def find_regressions(
         name: {
             "sec": timings[name],
             "median_sec": round(gate_value[name], 4),
-            "anchor_sec": _GATE_ANCHOR[name],
-            "ratio": round(gate_value[name] / _GATE_ANCHOR[name], 2),
+            "anchor_sec": anchors[name],
+            "ratio": round(gate_value[name] / anchors[name], 2),
         }
         for name in timings
-        if name in _GATE_ANCHOR
-        and gate_value[name] > _REGRESSION_FACTOR * _GATE_ANCHOR[name]
+        if name in anchors
+        and gate_value[name] > _REGRESSION_FACTOR * anchors[name]
     }
 
 

@@ -76,3 +76,32 @@ def test_r07_anchor_gates_too():
     out = bench.find_regressions(t, 0.1)
     assert set(out) == {"pipeline_curate_v2"}
     assert out["pipeline_curate_v2"]["ratio"] == 3.0
+
+
+def test_sf1_gate_green_on_anchor_timings():
+    assert bench.find_regressions(dict(bench._SF1_R10_ANCHOR), 1.0) == {}
+
+
+def test_sf1_gate_flags_doubled_query():
+    timings = dict(bench._SF1_R10_ANCHOR)
+    timings["tpch_q1"] = bench._SF1_R10_ANCHOR["tpch_q1"] * 3
+    out = bench.find_regressions(timings, 1.0)
+    assert set(out) == {"tpch_q1"}
+    assert out["tpch_q1"]["anchor_sec"] == bench._SF1_R10_ANCHOR["tpch_q1"]
+
+
+def test_sf1_anchor_covers_every_headliner():
+    """The sf1 gate must cover the same suite as the sf0.1 gate —
+    a headliner missing from the sf1 anchors would silently escape
+    the 10x-scale regression fence."""
+    assert set(bench._SF1_R10_ANCHOR) == set(bench._GATE_ANCHOR)
+
+
+def test_sf1_anchors_do_not_gate_sf01():
+    """An sf0.1 run must never be compared against sf1 anchors (and
+    vice versa): timings at different scales are incomparable."""
+    slow_sf01 = {n: v * 10 for n, v in bench._SF1_R10_ANCHOR.items()}
+    out = bench.find_regressions(slow_sf01, 0.1)
+    # gated against the sf0.1 anchors, not the sf1 ones
+    for name, info in out.items():
+        assert info["anchor_sec"] == bench._GATE_ANCHOR[name]
