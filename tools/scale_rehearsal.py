@@ -263,6 +263,99 @@ print("RESULT", best)
 spark.stop()
 """
 
+# archive_sync at an arbitrary corpus (the 100x row): ONE iteration
+# (60M rows write ~2 GB; best-of-2 doubles the wall for no signal at
+# this size), with
+#  * the partition count ASSERTED against the planner's documented
+#    rule — batch = adjust_batch_size(40000, mn, mx, cnt) (the 100x
+#    key range is ~16x sparser than the rows, so the x5 widening
+#    branch fires), n_parts = min((mx-mn)//batch + 1, 10000) — so a
+#    silent cap hit or a degenerate single-partition plan fails
+#    loudly instead of shipping a wrong-shaped rehearsal row;
+#  * spill + peak execution memory read from the UI REST API
+#    (per-stage memoryBytesSpilled / diskBytesSpilled /
+#    peakExecutionMemory), the numbers SCALE.md's "spills, doesn't
+#    OOM" claim was missing at this scale.
+_ARCHIVE_AT_SCALE = """
+import json, shutil, sys, tempfile, time, urllib.request
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from bend_archiver_spark.config import Config
+from bend_archiver_spark.job import FileArchiveJob
+from bend_archiver_spark.planner import adjust_batch_size
+from bend_archiver_spark.session import get_spark
+from bend_archiver_spark.tables import load_table
+# sessions default to spark.ui.enabled=false; the REST metrics
+# endpoint IS the UI server, so turn it on for this one-shot process
+spark = get_spark(
+    "rehearsal_archive", extra_conf={{"spark.ui.enabled": "true"}}
+)
+li = load_table(spark, {sf_dir!r}, "lineitem")
+row = li.filter("l_quantity > 0").agg(
+    F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx"),
+    F.count(F.lit(1)).alias("cnt")).first()
+mn, mx, cnt = int(row["mn"]), int(row["mx"]), int(row["cnt"])
+batch = adjust_batch_size(40000, mn, mx, cnt)
+expected_parts = max(1, min((mx - mn) // batch + 1, 10_000))
+target = tempfile.mkdtemp(prefix="rehearsal_archive_")
+shutil.rmtree(target, ignore_errors=True)
+cfg = Config(
+    source_table="lineitem", source_split_key="l_orderkey",
+    source_where_condition="l_quantity > 0", batch_size=40000,
+    max_thread=5, target_path=target, target_format="parquet",
+)
+try:
+    t0 = time.monotonic()
+    report = FileArchiveJob(spark, cfg, li).run(check_idempotency=False)
+    wall = time.monotonic() - t0
+    assert report.verify.is_correct, report.verify
+    assert report.num_partitions == expected_parts, (
+        report.num_partitions, expected_parts)
+    assert report.batch_size == batch, (report.batch_size, batch)
+finally:
+    shutil.rmtree(target, ignore_errors=True)
+ui = spark.sparkContext.uiWebUrl
+spill_mem = spill_disk = peak = 0
+if ui:
+    apps = json.load(urllib.request.urlopen(f"{{ui}}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(urllib.request.urlopen(
+        f"{{ui}}/api/v1/applications/{{app_id}}/stages?status=complete"))
+    spill_mem = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+    spill_disk = sum(s.get("diskBytesSpilled", 0) for s in stages)
+    peak = max((s.get("peakExecutionMemory", 0) for s in stages), default=0)
+print("ARCHIVE_AT_SCALE", json.dumps({{
+    "rows": cnt, "key_range": mx - mn + 1, "batch_size": batch,
+    "num_partitions": report.num_partitions,
+    "expected_partitions": expected_parts,
+    "wall_sec": round(wall, 1),
+    "memory_spill_bytes": spill_mem, "disk_spill_bytes": spill_disk,
+    "peak_execution_memory_bytes": peak,
+}}))
+spark.stop()
+"""
+
+
+def archive_at_scale(sf_dir: str, timeout: int = 3600) -> dict:
+    """Run the archive job once against *sf_dir*'s lineitem with the
+    partition-count assertion + spill/peak-memory capture."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            _ARCHIVE_AT_SCALE.format(repo=REPO, sf_dir=sf_dir),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("ARCHIVE_AT_SCALE "):
+            return json.loads(line.split(" ", 1)[1])
+    raise RuntimeError(
+        f"archive_at_scale @ {sf_dir} failed:\n{proc.stderr[-2000:]}"
+    )
+
 
 def time_query(name: str, sf_dir: str) -> float:
     """Best-of-2 wall time in a fresh subprocess session (isolation:
@@ -286,7 +379,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,3,10")
     ap.add_argument("--queries", default=",".join(QUERIES))
+    ap.add_argument(
+        "--archive-at",
+        default=None,
+        metavar="SF_DIR",
+        help="run ONLY the asserted archive job against this corpus "
+        "(e.g. /tmp/scale_correctness/x100) and print its JSON row",
+    )
     args = ap.parse_args()
+    if args.archive_at:
+        print(json.dumps(archive_at_scale(args.archive_at)))
+        return
     scales = [int(s) for s in args.scales.split(",")]
     queries = args.queries.split(",")
 
