@@ -371,12 +371,17 @@ _GREEN_R09 = frozenset({
     "window_range_sliding_revenue", "window_rank_metrics",
 })
 
-# Round 10 changed NO registered Spark plans: the simhash two-level
-# block-width clamp (operators/dedup.py) only alters expressions on
-# the non-dividing path that no registered query takes — the
-# registered dedup_simhash optimized plan was diffed byte-identical
-# before/after (constant folding absorbs the rewritten literals).
-_CHANGED_R10 = frozenset()
+# Changed in round 10 (the simhash two-level block-width clamp does
+# NOT re-tier: it only alters expressions on the non-dividing path no
+# registered query takes — the registered dedup_simhash optimized
+# plan was diffed byte-identical before/after):
+#  * embedding_standardize_dims: the 100x family sweep caught a
+#    0.0 vs -0.0 divergence (Spark's BigDecimal round has no signed
+#    zero; DuckDB keeps IEEE -0.0 — manifests only when an element
+#    lands exactly on its dimension mean, first possible at 100x).
+#    Both engines now normalize with `+ 0.0` after the round —
+#    expression changed on both sides, re-earns a driver row.
+_CHANGED_R10 = frozenset({"embedding_standardize_dims"})
 
 # NOT re-tiered in round 9, deliberately: the DuckDB-rounding fix
 # (CAST(dec AS VARCHAR) AS DOUBLE hop, 52 oracle strings + the

@@ -231,8 +231,12 @@ stats AS (
   FROM elems GROUP BY dim),
 z AS (
   SELECT vec_id, label, elems.dim,
+         -- + 0 normalizes IEEE signed zero: round() of a tiny
+         -- negative is -0.0 in DuckDB but +0.0 in Spark (BigDecimal
+         -- rounding has no signed zero) — first seen at 100x, where
+         -- a rotated replica's element lands exactly on the dim mean
          round((CAST(v AS DOUBLE) - sx / n)
-                 / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS zv
+                 / sqrt((sxx - sx * sx / n) / (n - 1)), 6) + 0 AS zv
   FROM elems JOIN stats ON elems.dim = stats.dim)
 SELECT vec_id, label, CAST(dim - 1 AS BIGINT) AS dim, zv
 FROM z
@@ -283,9 +287,13 @@ def embedding_standardize_dims(
         F.sum((vd * vd).cast("decimal(38,6)")).cast("double").alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    # + 0.0 normalizes IEEE signed zero (oracle twin carries the same
+    # term): Spark's round() of a tiny negative returns +0.0 while
+    # DuckDB's keeps -0.0 — divergent only when an element lands
+    # EXACTLY on its dimension mean, which first happens at 100x
     zv = F.round(
         (vd - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1)), 6
-    )
+    ) + F.lit(0.0)
     return elems.join(F.broadcast(stats), "dim").select(
         "vec_id",
         "label",
