@@ -110,7 +110,17 @@ def run(
     from bend_archiver_spark.session import get_spark
 
     sf_dir = sf_dir or os.environ.get("SF_DIR", "/root/testdata/sf0.001")
-    spark = get_spark("oracle_compare", shuffle_partitions=shuffle_partitions)
+    # the compare contract COLLECTS both sides (toPandas); at the 100x
+    # rehearsal a multi-million-row result trips the 1g default
+    # maxResultSize inside the harness — a collection limit of the
+    # comparison itself, not of any registered plan (no registered
+    # query collects; they all write/aggregate). 8g is safe under the
+    # 24g driver heap.
+    spark = get_spark(
+        "oracle_compare",
+        shuffle_partitions=shuffle_partitions,
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     con = duck_con(sf_dir)
     selected = names or list(REGISTRY)
     ok = True
