@@ -117,6 +117,26 @@ def prefix_filter_candidates(
     some prefix token, and the candidate set is a strict superset of
     the answer (no recall loss, unlike LSH banding).
 
+    On top of the prefix join, collision rows pass the PPJoin
+    length and positional filters (Xiao 2008) before the pair
+    DISTINCT — both exact by the same first-common-token argument:
+
+    - length: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+      (|A∩B| <= min, |A∪B| >= max), so size-mismatched pairs drop.
+    - positional: let the FIRST common token in the global
+      rarest-first order sit at rank i in A and j in B. The other
+      o-1 shared tokens all rank strictly after it in BOTH docs, so
+      o <= 1 + min(|A|-i, |B|-j); J >= t needs o >= t*(|A|+|B|)/(1+t),
+      and the first common token provably sits inside both prefixes
+      (it has >= o-1 >= ceil(t*n)-1 followers, so its rank is inside
+      the n-ceil(t*n)+1 prefix). Hence every qualifying pair keeps at
+      least its first-common-token collision row, and filtering ALL
+      collision rows by the bound never drops a true pair. At t=0.5
+      — where prefixes keep half of every document — this is the
+      filter that matters: late-prefix collisions between documents
+      that cannot reach the threshold are dropped before the
+      DISTINCT and the verify join ever see them.
+
     Scale: the raw token-equality join is quadratic in per-token
     document frequency — a hot shingle's posting list self-joins
     (the shape that exhausted 78 GB of DuckDB temp disk at the 100x
@@ -124,8 +144,10 @@ def prefix_filter_candidates(
     tokens OUT of the prefixes, so posting lists entering the join
     are the short ones by construction. The epsilon inside ceil()
     guards the float product from rounding UP past the true rational
-    bound (which would shorten a prefix and break exactness); an
-    epsilon too small only lengthens prefixes, which is safe."""
+    bound (which would shorten a prefix and break exactness); the
+    epsilons on the length/positional bounds only LOOSEN the filters
+    (a kept extra candidate is re-checked by exact verification;
+    a dropped true pair would be a bug), which is the safe side."""
     from pyspark.sql import Window
 
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -140,11 +162,35 @@ def prefix_filter_candidates(
         - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
         + F.lit(1)
     )
-    prefix = ranked.filter(F.col("rn") <= plen).select("doc_id", "tok")
+    prefix = ranked.filter(F.col("rn") <= plen).select(
+        "doc_id", "tok", "rn", "n"
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "tok",
+        F.col("rn").alias("rn_a"),
+        F.col("n").alias("na"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "tok",
+        F.col("rn").alias("rn_b"),
+        F.col("n").alias("nb"),
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")
+    )
     return (
-        prefix.select(F.col("doc_id").alias("doc_a"), "tok")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "tok"), "tok")
+        pa.join(pb, "tok")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("na", "nb")
+            >= F.lit(threshold) * F.greatest("na", "nb") - F.lit(1e-9)
+        )
+        .filter(
+            ubound * F.lit(1.0 + threshold)
+            >= F.lit(threshold) * (F.col("na") + F.col("nb")) - F.lit(1e-9)
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -166,10 +212,27 @@ def prefix_filter_candidates_directed(
     set. Candidates are ordered (doc_a, doc_b) pairs, a != b, a strict
     superset of every qualifying directed pair.
 
+    Collision rows additionally pass the directed length and
+    positional filters (the PPJoin bounds of
+    :func:`prefix_filter_candidates`, asymmetric form) before the
+    pair DISTINCT — exact by the same first-common-token argument:
+
+    - length: |B| >= |A∩B| >= ceil(t*|A|), so containers smaller
+      than t*|A| drop.
+    - positional: the first common token (global rarest-first order)
+      at rank i in A and j in B bounds the overlap by
+      o <= 1 + min(|A|-i, |B|-j) (the other o-1 shared tokens rank
+      strictly after it in both), and it provably sits inside A's
+      prefix; C >= t needs o >= t*|A|. B is NOT prefix-reduced, so
+      its rank j is over the full token set — every qualifying pair
+      keeps its first-common-token row.
+
     Scale: hot tokens are pushed out of the PREFIX side, so the join
     cost is sum_tok(prefix_df * df) instead of the self-join's df^2 —
     the quote/excerpt detector stays runnable when one boilerplate
-    shingle appears in half the corpus."""
+    shingle appears in half the corpus; the positional filter then
+    drops the late-in-both collisions that dominate when thresholds
+    are low and documents long."""
     from pyspark.sql import Window
 
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -184,14 +247,27 @@ def prefix_filter_candidates_directed(
         - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
         + F.lit(1)
     )
-    prefix = (
-        ranked.filter(F.col("rn") <= plen)
-        .select(F.col("doc_id").alias("doc_a"), "tok")
+    prefix = ranked.filter(F.col("rn") <= plen).select(
+        F.col("doc_id").alias("doc_a"),
+        "tok",
+        F.col("rn").alias("rn_a"),
+        F.col("n").alias("na"),
     )
-    full = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    full = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        "tok",
+        F.col("rn").alias("rn_b"),
+        F.col("n").alias("nb"),
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")
+    )
+    need = F.lit(threshold) * F.col("na") - F.lit(1e-9)
     return (
         prefix.join(full, "tok")
         .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.col("nb") >= need)
+        .filter(ubound >= need)
         .select("doc_a", "doc_b")
         .distinct()
     )

@@ -92,6 +92,17 @@ def _prefix_inter_sql(
     frequency — the shape that exhausted 78 GB of DuckDB temp disk at
     the 100x rehearsal — and is also ~2.5x faster at sf0.1.
 
+    Collision rows also pass the PPJoin length and positional bounds
+    (Xiao 2008; same derivation as
+    ``operators.dedup.prefix_filter_candidates``): the first common
+    token in the global rarest-first order sits inside both prefixes
+    and caps the overlap at ``1 + min(n_a - rn_a, n_b - rn_b)``, so
+    dropping collision rows under the threshold's overlap requirement
+    keeps every qualifying pair while pruning the low-threshold
+    candidate blowup (at t=0.5 prefixes keep half of every document;
+    the positional bound is what kept this oracle inside one node's
+    spill disk at the 100x rehearsal).
+
     ``materialize_inter`` additionally pins ``inter`` — required when
     the fragment sits inside a WITH RECURSIVE (the recursive planner
     re-executes inlined members per iteration; see _CC_CTE)."""
@@ -99,7 +110,7 @@ def _prefix_inter_sql(
     return f"""
     tdf AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
     pref AS MATERIALIZED (
-      SELECT doc_id, tok FROM (
+      SELECT doc_id, tok, rn, n FROM (
         SELECT t.doc_id, t.tok,
                ROW_NUMBER() OVER (PARTITION BY t.doc_id
                                   ORDER BY d.df, t.tok) AS rn,
@@ -108,7 +119,11 @@ def _prefix_inter_sql(
       WHERE rn <= n - CAST(ceil({threshold} * n - 1e-9) AS BIGINT) + 1),
     cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      WHERE least(a.n, b.n)
+              >= {threshold} * greatest(a.n, b.n) - 1e-9
+        AND (1 + least(a.n - a.rn, b.n - b.rn)) * {1.0 + threshold}
+              >= {threshold} * (a.n + b.n) - 1e-9),
     inter {inter_kw} (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
       FROM cand c

@@ -59,18 +59,28 @@ _TOKS_SQL = r"""
       SELECT doc_id, {hash64_sql('tok')} AS tok FROM ({_TOKS_SQL})),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
     tdf AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+    rankedall AS MATERIALIZED (
+      SELECT t.doc_id, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.df, t.tok) AS rn,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+      FROM toks t JOIN tdf d ON d.tok = t.tok),
     pref AS MATERIALIZED (
-      SELECT doc_id, tok FROM (
-        SELECT t.doc_id, t.tok,
-               ROW_NUMBER() OVER (PARTITION BY t.doc_id
-                                  ORDER BY d.df, t.tok) AS rn,
-               COUNT(*) OVER (PARTITION BY t.doc_id) AS n
-        FROM toks t JOIN tdf d ON d.tok = t.tok)
+      SELECT doc_id, tok, rn, n FROM rankedall
       WHERE rn <= n - CAST(ceil({_CONTAINMENT_THRESHOLD} * n - 1e-9)
                            AS BIGINT) + 1),
     cand AS MATERIALIZED (
+      -- directed PPJoin bounds (operators.dedup.
+      -- prefix_filter_candidates_directed, same derivation): the
+      -- container must hold >= ceil(t*n_a) shared tokens, and the
+      -- first common token in the global rarest-first order caps
+      -- the overlap at 1 + min(n_a - rn_a, n_b - rn_b)
       SELECT DISTINCT p.doc_id AS doc_a, f.doc_id AS doc_b
-      FROM pref p JOIN toks f ON f.tok = p.tok AND f.doc_id <> p.doc_id),
+      FROM pref p JOIN rankedall f
+        ON f.tok = p.tok AND f.doc_id <> p.doc_id
+      WHERE f.n >= {_CONTAINMENT_THRESHOLD} * p.n - 1e-9
+        AND 1 + least(p.n - p.rn, f.n - f.rn)
+              >= {_CONTAINMENT_THRESHOLD} * p.n - 1e-9),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
       FROM cand c
@@ -321,23 +331,33 @@ def _lsh_eval_oracle() -> str:
         _minhash_sig_sql,
     )
 
+    # ground truth rides the SAME prefix-filter + PPJoin machinery as
+    # every other oracle (queries.dedup._prefix_inter_sql) over the
+    # hashed-token stream — the raw `h ta JOIN h tb ON hv` self-join
+    # this replaces is quadratic in per-token document frequency and
+    # exhausted the node's 78 GB spill disk at the 100x rehearsal.
+    # The Spark twin's truth already goes through jaccard_pairs'
+    # prefix filter; exactness needs only the FINAL thresholded
+    # pairs to match (candidate supersets may differ), a theorem on
+    # both sides. `cand`/`inter` names come from the shared fragment,
+    # so the banding candidates are `lsh_cand` here.
+    from .dedup import _prefix_inter_sql
+
     return f"""
-    WITH toks AS ({_DEDUP_TOKS_SQL}),
-    h AS (SELECT doc_id, ({hash64_sql('tok')} % {_P}) AS hv FROM toks),
+    WITH stoks AS ({_DEDUP_TOKS_SQL}),
+    h AS MATERIALIZED (
+      SELECT doc_id, ({hash64_sql('tok')} % {_P}) AS hv FROM stoks),
     {_minhash_sig_sql()},
     bands AS ({_band_union_sql()}),
-    cand AS (
+    lsh_cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
-    inter AS (
-      SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM h ta JOIN h tb ON tb.hv = ta.hv AND ta.doc_id < tb.doc_id
-      GROUP BY 1, 2
-    ),
+    toks AS MATERIALIZED (SELECT doc_id, hv AS tok FROM h),
+    {_prefix_inter_sql(_JACCARD_THRESHOLD)},
     truth AS (
       SELECT i.doc_a, i.doc_b
       FROM inter i
@@ -347,11 +367,11 @@ def _lsh_eval_oracle() -> str:
             >= {_JACCARD_THRESHOLD}
     ),
     hits AS (
-      SELECT c.doc_a FROM cand c
+      SELECT c.doc_a FROM lsh_cand c
       JOIN truth tr ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b
     ),
     counts AS (
-      SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+      SELECT (SELECT COUNT(*) FROM lsh_cand) AS n_candidates,
              (SELECT COUNT(*) FROM truth) AS n_truth,
              (SELECT COUNT(*) FROM hits) AS n_hits
     )

@@ -639,6 +639,79 @@ class TestPrefixFilterCandidates:
         # doc's 0.5-prefix (10 - 5 + 1 = 6 rarest) never includes
         assert not any(a < 10 and b < 10 for a, b in cand)
 
+    def test_length_bound_prunes_size_mismatch(self, spark):
+        """Size-mismatch pruning: a 4-token doc sharing ALL its
+        tokens with a 40-token doc (J = 0.1) collides on prefix
+        tokens in both docs, but t*max <= min fails at t = 0.5 (the
+        length bound; at a rank-1 collision the positional bound
+        reduces to exactly it), so the pair must be pruned before
+        the distinct — while a same-sized clone pair survives. The
+        big doc's fillers get df = 3 via two filler docs so the
+        shared s_* tokens rank FIRST in its prefix (df-order would
+        otherwise hide them and the plain prefix filter would prune
+        for the wrong reason)."""
+        from bend_archiver_spark.operators.dedup import (
+            prefix_filter_candidates,
+        )
+
+        rows = [(1, f"s_{j}") for j in range(4)]
+        rows += [(2, f"s_{j}") for j in range(4)] + [
+            (2, f"big_{j}") for j in range(36)
+        ]
+        rows += [(3, f"big_{j}") for j in range(36)]
+        rows += [(4, f"big_{j}") for j in range(36)]
+        # true pair at the same size: J = 4/4 = 1.0
+        rows += [(10, f"p_{j}") for j in range(4)]
+        rows += [(11, f"p_{j}") for j in range(4)]
+        toks = spark.createDataFrame(rows, ["doc_id", "tok"])
+        cand = {
+            tuple(r)
+            for r in prefix_filter_candidates(toks, 0.5).collect()
+        }
+        assert (10, 11) in cand
+        assert (1, 2) not in cand
+
+    def test_positional_filter_prunes_late_collisions(self, spark):
+        """PPJoin positional bound at t = 0.5 on 8-token docs: the
+        overlap requirement is ceil(0.5/1.5 * 16) = 6, so a pair
+        whose ONLY shared token sits at rank 5 of both prefixes
+        (prefix length 8 - 4 + 1 = 5) caps overlap at
+        1 + min(8-5, 8-5) = 4 < 6 and the collision row must be
+        pruned — while the plain prefix filter alone would admit it
+        (the token IS in both prefixes). A rank-1 collision
+        (ubound = 8) must survive. Global order is (df, tok): the
+        df=1 uniques rank first, then the df=2 group sorts by token
+        name — fixture names pin the ranks."""
+        from bend_archiver_spark.operators.dedup import (
+            prefix_filter_candidates,
+        )
+
+        rows = []
+        # docs 1/2: 4 df=1 uniques (ranks 1-4), shared 'zz' (df=2,
+        # rank 5 — last prefix slot), then 3 df=2 'zza*' tokens
+        # (> 'zz' lexicographically, ranks 6-8; df=2 via fillers
+        # 3/4 so they cannot slip before 'zz')
+        for d, pre, late in ((1, "a", "zza_a"), (2, "b", "zza_b")):
+            rows += [(d, f"{pre}_{j}") for j in range(4)]
+            rows += [(d, "zz")]
+            rows += [(d, f"{late}{j}") for j in range(3)]
+        rows += [(3, f"zza_a{j}") for j in range(3)]
+        rows += [(4, f"zza_b{j}") for j in range(3)]
+        # docs 10/11: all 8 tokens df=2; shared 'c_0' sorts FIRST
+        # (rank 1, ubound 1 + 7 = 8 >= 6: not pruned — the exact
+        # verify stage is what rejects this J = 1/15 pair)
+        rows += [(10, "c_0")] + [(10, f"d10_{j}") for j in range(7)]
+        rows += [(11, "c_0")] + [(11, f"d11_{j}") for j in range(7)]
+        rows += [(12, f"d10_{j}") for j in range(7)]
+        rows += [(13, f"d11_{j}") for j in range(7)]
+        toks = spark.createDataFrame(rows, ["doc_id", "tok"])
+        cand = {
+            tuple(r)
+            for r in prefix_filter_candidates(toks, 0.5).collect()
+        }
+        assert (1, 2) not in cand
+        assert (10, 11) in cand
+
 
 class TestHashedShingleParity:
     def test_jaccard_identical_on_hashed_and_string_shingles(
