@@ -381,7 +381,22 @@ _GREEN_R09 = frozenset({
 #    lands exactly on its dimension mean, first possible at 100x).
 #    Both engines now normalize with `+ 0.0` after the round —
 #    expression changed on both sides, re-earns a driver row.
-_CHANGED_R10 = frozenset({"embedding_standardize_dims"})
+#  * the PPJoin length+positional candidate bounds (operators/
+#    dedup.py prefix_filter_candidates[_directed] + the oracle
+#    fragment): exact by theorem and pinned bit-equal to brute by
+#    the unit suite, but the SPARK PLAN of every prefix-filter
+#    consumer changed, so each re-earns a hash-checked driver row.
+#    (pipeline_curate_near_dedup rides MinHash banding, and
+#    dedup_semantic_keep_one rides cosine LSH — their Spark plans
+#    are untouched; oracle-side cand/inter CTE changes were proven
+#    value-invariant by full compares at sf0.001 + sf0.01.)
+_CHANGED_R10 = frozenset({
+    "embedding_standardize_dims",
+    "dedup_ngram_jaccard", "dedup_threshold_curve",
+    "dedup_containment_pairs", "dedup_lsh_eval",
+    "dedup_connected_components", "dedup_clusters_keep_one",
+    "dedup_source_priority_keep_one", "pipeline_leakage_safe_split",
+})
 
 # NOT re-tiered in round 9, deliberately: the DuckDB-rounding fix
 # (CAST(dec AS VARCHAR) AS DOUBLE hop, 52 oracle strings + the
