@@ -273,53 +273,94 @@ def prefix_filter_candidates_directed(
     )
 
 
+def pair_intersections(
+    toks: DataFrame,
+    candidates: DataFrame,
+    lists: DataFrame | None = None,
+) -> DataFrame:
+    """Exact per-pair intersection sizes: ``(doc_a, doc_b, n_inter,
+    na, nb)`` for every candidate pair with ``n_inter >= 1``, via
+    per-document token ARRAYS and one ``array_intersect`` per pair.
+
+    Two 1-row-per-doc hash joins replace the exploded token re-join
+    + (doc_a, doc_b) hash aggregate: the old shape shuffled
+    ``candidates x avg_doc_len`` rows into a GROUP BY (at the 100x
+    rehearsal, ~600M rows — the dominant verify spill on both
+    engines); this shape shuffles the candidate pairs once and the
+    1-row-per-doc list table twice, and the intersection itself is
+    JVM-side per-row work. The DuckDB oracle twin is
+    ``list_intersect`` over ``list(tok)`` (queries.dedup.
+    _prefix_inter_sql) — BOTH engines use distinct-set intersection
+    semantics, so even a within-document 60-bit hash collision
+    (duplicate (doc_id, tok) rows, ~|toks|^2/2^61) cannot diverge
+    them; ``na``/``nb`` count rows (duplicates included) identically
+    on both sides.
+
+    ``lists`` (doc_id, n, lst) can be passed when the caller already
+    holds per-document token arrays (the MinHash paths carry ``hvs``
+    from the signature front end) — then ``toks`` is not touched and
+    the groupBy disappears entirely."""
+    if lists is None:
+        lists = toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.collect_list("tok").alias("lst"),
+        )
+    la = lists.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("lst").alias("lst_a"),
+    )
+    lb = lists.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("lst").alias("lst_b"),
+    )
+    return (
+        candidates.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("lst_a", "lst_b")).cast("bigint"),
+        )
+        .filter(F.col("n_inter") > 0)
+        .select("doc_a", "doc_b", "n_inter", "na", "nb")
+    )
+
+
 def jaccard_pairs(
     toks: DataFrame,
     threshold: float,
     candidates: DataFrame | None = None,
-    sizes: DataFrame | None = None,
+    lists: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-Jaccard pairs over a shingle table (doc_id, tok).
-    With ``candidates`` (doc_a, doc_b) the intersection join touches
+    With ``candidates`` (doc_a, doc_b) the verification touches
     candidate pairs only — the verification stage of MinHash-LSH.
     Without, candidates come from :func:`prefix_filter_candidates`
     (exact — identical output to the raw token self-join, without its
-    quadratic hot-token blowup). ``sizes`` (doc_id, n) can be
-    precomputed upstream (the MinHash signature aggregation yields it
-    for free) to skip one shuffle."""
+    quadratic hot-token blowup). Verification is
+    :func:`pair_intersections` (per-doc arrays + array_intersect —
+    no exploded re-join); ``lists`` is forwarded to it when the
+    caller already holds the per-doc arrays."""
     if candidates is None:
         # persist: the prefix machinery adds two more consumers of
         # the token stream (global frequency + the ranked join) on
-        # top of sizes and both verify sides — without a barrier each
-        # one re-derives the corpus shingle explode. No-op if the
-        # caller already persisted. Callers clear cache between
+        # top of the per-doc list aggregation — without a barrier
+        # each one re-derives the corpus shingle explode. No-op if
+        # the caller already persisted. Callers clear cache between
         # queries.
         from pyspark import StorageLevel
 
         if toks.storageLevel == StorageLevel.NONE:
             toks = toks.persist()
         candidates = prefix_filter_candidates(toks, threshold)
-    if sizes is None:
-        sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        candidates.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    inter = pair_intersections(toks, candidates, lists=lists)
     jac = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_signatures(
@@ -437,15 +478,19 @@ def minhash_lsh_dedup(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = sig.select("doc_id", "n")
-    # verify on the 60-bit shingle hashes, not the strings: the
-    # intersection join shuffles int64 keys instead of multi-word
-    # strings (collision odds ~(n^2)/2^61 — negligible, and identical
-    # in the oracle which uses the same hashes)
-    hashed_toks = with_h.select(
-        "doc_id", F.explode("hvs").alias("tok")
+    # verify on the 60-bit shingle hashes, not the strings — and
+    # straight from the per-doc hvs ARRAYS the signature front end
+    # already carries: no explode, no re-groupBy; array_intersect
+    # per candidate pair (collision odds ~(n^2)/2^61 — negligible,
+    # and distinct-set semantics match the oracle's list_intersect)
+    lists = with_h.select(
+        "doc_id",
+        F.size("hvs").cast("bigint").alias("n"),
+        F.col("hvs").alias("lst"),
     )
-    return jaccard_pairs(hashed_toks, threshold, candidates=cand, sizes=sizes)
+    return jaccard_pairs(
+        with_h, threshold, candidates=cand, lists=lists
+    )
 
 
 def minhash_lsh_cross(
@@ -496,13 +541,13 @@ def minhash_lsh_cross(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    toks = wh_c.select("doc_id", F.explode("hvs").alias("tok")).unionByName(
-        wh_b.select("doc_id", F.explode("hvs").alias("tok"))
+    wh = wh_c.unionByName(wh_b)
+    lists = wh.select(
+        "doc_id",
+        F.size("hvs").cast("bigint").alias("n"),
+        F.col("hvs").alias("lst"),
     )
-    sizes = sig_c.select("doc_id", "n").unionByName(
-        sig_b.select("doc_id", "n")
-    )
-    pairs = jaccard_pairs(toks, threshold, candidates=cand, sizes=sizes)
+    pairs = jaccard_pairs(wh, threshold, candidates=cand, lists=lists)
     return pairs.select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("bench_id"),

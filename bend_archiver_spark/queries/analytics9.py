@@ -187,34 +187,18 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter at the sweep's MINIMUM threshold (0.5) — exact for every
     listed threshold, since a non-candidate pair has J < 0.5 and can
     qualify nowhere on the curve."""
+    from ..operators import dedup as ops
     from ..operators.dedup import hashed_shingle, prefix_filter_candidates
 
     toks = hashed_shingle(
         t(spark, sf_dir, "documents"), "doc_id", "text"
     ).persist()
-    sizes = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
     cand = prefix_filter_candidates(toks, 0.5)
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    pairs = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_inter",
-            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
-        )
+    pairs = ops.pair_intersections(toks, cand).select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
     )
     th = spark.createDataFrame([(x,) for x in (5, 6, 7, 8)], "t10 int")
     hit = (

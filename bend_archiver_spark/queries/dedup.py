@@ -76,8 +76,8 @@ _HTOKS_SQL = f"""
 def _prefix_inter_sql(
     threshold: float, materialize_inter: bool = False
 ) -> str:
-    """CTE fragment ``tdf, pref, cand, inter`` — prefix-filtered EXACT
-    pair-intersection counting, the SQL mirror of
+    """CTE fragment ``tdf, pref, cand, doclists, inter`` —
+    prefix-filtered EXACT pair-intersection counting, the SQL mirror of
     ``operators.dedup.prefix_filter_candidates`` (Chaudhuri 2006 /
     Vernica 2010; same ``ceil(t*n - eps)`` prefix length, same
     rarest-first ``(df, tok)`` total order). Expects a CTE named
@@ -103,6 +103,20 @@ def _prefix_inter_sql(
     the positional bound is what kept this oracle inside one node's
     spill disk at the 100x rehearsal).
 
+    Verification counts the intersection per candidate pair via
+    per-document TOKEN LISTS and ``list_intersect`` — two
+    hash-join lookups per candidate against a 1-row-per-doc list
+    table — instead of re-joining the full (doc_id, tok) stream on
+    both sides and hash-aggregating the exploded matches (at the
+    100x corpus that explode is ~600M rows into a GROUP BY; it was
+    the dominant spill after the candidate bounds landed).
+    ``list_intersect`` is distinct-set semantics while the join-count
+    multiplies duplicate rows: the two differ ONLY when a document
+    carries a duplicate (doc_id, tok) row, i.e. a within-document
+    60-bit hash collision (~|toks|^2/2^61 — the same accepted
+    argument as hashed_shingle's; shingles are string-DISTINCT
+    before hashing on both engines).
+
     ``materialize_inter`` additionally pins ``inter`` — required when
     the fragment sits inside a WITH RECURSIVE (the recursive planner
     re-executes inlined members per iteration; see _CC_CTE)."""
@@ -124,12 +138,18 @@ def _prefix_inter_sql(
               >= {threshold} * greatest(a.n, b.n) - 1e-9
         AND (1 + least(a.n - a.rn, b.n - b.rn)) * {1.0 + threshold}
               >= {threshold} * (a.n + b.n) - 1e-9),
+    doclists AS MATERIALIZED (
+      SELECT doc_id, list(tok) AS lst
+      FROM toks GROUP BY doc_id),
     inter {inter_kw} (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-      FROM cand c
-      JOIN toks ta ON ta.doc_id = c.doc_a
-      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-      GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_inter FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(la.lst, lb.lst)) AS BIGINT)
+                 AS n_inter
+        FROM cand c
+        JOIN doclists la ON la.doc_id = c.doc_a
+        JOIN doclists lb ON lb.doc_id = c.doc_b)
+      WHERE n_inter > 0)
     """
 
 

@@ -81,12 +81,21 @@ _TOKS_SQL = r"""
       WHERE f.n >= {_CONTAINMENT_THRESHOLD} * p.n - 1e-9
         AND 1 + least(p.n - p.rn, f.n - f.rn)
               >= {_CONTAINMENT_THRESHOLD} * p.n - 1e-9),
+    doclists AS MATERIALIZED (
+      -- list_intersect verify (same shape + collision caveat as
+      -- queries.dedup._prefix_inter_sql): two per-candidate list
+      -- lookups instead of the exploded token re-join + GROUP BY
+      SELECT doc_id, list(tok) AS lst
+      FROM toks GROUP BY doc_id),
     inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-      FROM cand c
-      JOIN toks ta ON ta.doc_id = c.doc_a
-      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-      GROUP BY 1, 2
+      SELECT doc_a, doc_b, n_inter FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(la.lst, lb.lst)) AS BIGINT)
+                 AS n_inter
+        FROM cand c
+        JOIN doclists la ON la.doc_id = c.doc_a
+        JOIN doclists lb ON lb.doc_id = c.doc_b)
+      WHERE n_inter > 0
     )
     SELECT doc_a, doc_b,
            CAST(sa.n AS BIGINT) AS n_a,
@@ -117,23 +126,15 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle explode. Callers clear cache between queries. Hashed
     # shingles: int64 join keys, ~3x less shuffle than strings.
     toks = ops.hashed_shingle(d, "doc_id", "text").persist()
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     cand = ops.prefix_filter_candidates_directed(
         toks, _CONTAINMENT_THRESHOLD
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    inter = ops.pair_intersections(toks, cand).withColumnRenamed(
+        "na", "n_a"
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     containment = F.col("n_inter").cast("double") / F.col("n_a")
     return (
-        inter.join(sa, "doc_a")
-        .filter(
+        inter.filter(
             (F.col("n_a") >= _MIN_SHINGLES)
             & (containment >= _CONTAINMENT_THRESHOLD)
         )
@@ -294,10 +295,19 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    hashed = with_h.select("doc_id", F.explode("hvs").alias("tok"))
-    sizes = sig.select("doc_id", "n")
+    # ground truth: prefix-filtered candidates need the exploded
+    # hashed-token stream, but verification rides the per-doc hvs
+    # arrays directly (pair_intersections' lists fast path)
+    hashed = with_h.select(
+        "doc_id", F.explode("hvs").alias("tok")
+    ).persist()
+    lists = with_h.select(
+        "doc_id",
+        F.size("hvs").cast("bigint").alias("n"),
+        F.col("hvs").alias("lst"),
+    )
     truth = (
-        ops.jaccard_pairs(hashed, _JACCARD_THRESHOLD, sizes=sizes)
+        ops.jaccard_pairs(hashed, _JACCARD_THRESHOLD, lists=lists)
         .select("doc_a", "doc_b")
         .persist()
     )
