@@ -61,12 +61,19 @@ cand AS MATERIALIZED (
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
+doclists AS MATERIALIZED (
+  -- list_intersect verify: distinct-set semantics, matching the
+  -- Spark side's array_intersect even on a mod-P collision
+  SELECT doc_id, list(hv) AS lst FROM h GROUP BY doc_id),
 inter AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-  FROM cand c
-  JOIN h ta ON ta.doc_id = c.doc_a
-  JOIN h tb ON tb.doc_id = c.doc_b AND tb.hv = ta.hv
-  GROUP BY 1, 2),
+  SELECT doc_a, doc_b, n_inter FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(la.lst, lb.lst)) AS BIGINT)
+             AS n_inter
+    FROM cand c
+    JOIN doclists la ON la.doc_id = c.doc_a
+    JOIN doclists lb ON lb.doc_id = c.doc_b)
+  WHERE n_inter > 0),
 drops AS (
   SELECT DISTINCT i.doc_b AS doc_id
   FROM inter i

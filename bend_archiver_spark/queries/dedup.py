@@ -305,12 +305,20 @@ def _band_union_sql() -> str:
        AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
+    doclists AS MATERIALIZED (
+      -- list_intersect verify: distinct-set semantics, matching the
+      -- Spark side's array_intersect (operators.dedup.
+      -- pair_intersections) even on a mod-P within-doc collision
+      SELECT doc_id, list(hv) AS lst FROM h GROUP BY doc_id),
     inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-      FROM cand c
-      JOIN h ta ON ta.doc_id = c.doc_a
-      JOIN h tb ON tb.doc_id = c.doc_b AND tb.hv = ta.hv
-      GROUP BY 1, 2
+      SELECT doc_a, doc_b, n_inter FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(la.lst, lb.lst)) AS BIGINT)
+                 AS n_inter
+        FROM cand c
+        JOIN doclists la ON la.doc_id = c.doc_a
+        JOIN doclists lb ON lb.doc_id = c.doc_b)
+      WHERE n_inter > 0
     )
     SELECT i.doc_a, i.doc_b,
            CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
@@ -612,12 +620,19 @@ _X_THRESHOLD = 0.5
       WHERE c.doc_id >= {_X_BENCH} AND b.doc_id < {_X_BENCH}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
+    doclists AS MATERIALIZED (
+      -- list_intersect verify: distinct-set semantics, matching the
+      -- Spark side's array_intersect even on a mod-P collision
+      SELECT doc_id, list(hv) AS lst FROM h GROUP BY doc_id),
     inter AS (
-      SELECT c.doc_id, c.bench_id, COUNT(*) AS n_inter
-      FROM cand c
-      JOIN h ta ON ta.doc_id = c.doc_id
-      JOIN h tb ON tb.doc_id = c.bench_id AND tb.hv = ta.hv
-      GROUP BY 1, 2
+      SELECT doc_id, bench_id, n_inter FROM (
+        SELECT c.doc_id, c.bench_id,
+               CAST(len(list_intersect(la.lst, lb.lst)) AS BIGINT)
+                 AS n_inter
+        FROM cand c
+        JOIN doclists la ON la.doc_id = c.doc_id
+        JOIN doclists lb ON lb.doc_id = c.bench_id)
+      WHERE n_inter > 0
     )
     SELECT i.doc_id, i.bench_id,
            CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
