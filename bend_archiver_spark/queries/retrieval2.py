@@ -178,7 +178,7 @@ _KEY_SHIFT = 1 << 20
 _EMPTY_MD5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5("")
 
 _REMOVE_ORACLE = f"""
-WITH tok AS (
+WITH tok AS MATERIALIZED (
   SELECT doc_id, {_WS_SQL} AS ws FROM documents),
 gl AS (
   SELECT doc_id,
@@ -187,7 +187,7 @@ gl AS (
                                list_slice(ws, i, i + {_SPAN_N} - 1),
                                'string_agg', ' ')) AS gs
   FROM tok WHERE len(ws) >= {_SPAN_N}),
-grams AS (
+grams AS MATERIALIZED (
   SELECT doc_id, {hash64_sql('g')} AS g, s FROM (
     SELECT doc_id, unnest(gs) AS g,
            generate_subscripts(gs, 1) - 1 AS s
@@ -200,27 +200,44 @@ rem AS (
   FROM grams JOIN gstat USING (g)
   CROSS JOIN (SELECT unnest(range(0, {_SPAN_N})) AS x)
   WHERE doc_id * {_KEY_SHIFT} + s <> first_key),
-tp AS (
-  SELECT doc_id, unnest(ws) AS tok,
-         generate_subscripts(ws, 1) - 1 AS p
-  FROM tok),
-kept AS (
-  SELECT tp.doc_id, tp.tok, tp.p
-  FROM tp LEFT JOIN rem ON tp.doc_id = rem.doc_id AND tp.p = rem.p
-  WHERE rem.doc_id IS NULL),
+remlist AS MATERIALIZED (
+  -- per-doc removed positions as a LIST: rem touches only the docs
+  -- that lost at least one token (a few % of the corpus), so the
+  -- expensive rebuild below runs on those docs alone. The previous
+  -- formulation exploded EVERY doc into (tok, p) rows, anti-joined,
+  -- and re-assembled with md5(string_agg(.. ORDER BY p)) — DuckDB
+  -- 1.0 buffers the whole ordered-aggregate input in non-spillable
+  -- memory, which OOMed the 48 GB oracle cap at the 100x corpus
+  -- (26M token rows) while every other stage ran in seconds.
+  SELECT doc_id, list(p) AS rl FROM rem GROUP BY doc_id),
 cleaned AS (
-  SELECT doc_id, COUNT(*) AS n_kept,
-         md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_hash
-  FROM kept GROUP BY doc_id),
-remc AS (SELECT doc_id, COUNT(*) AS n_removed FROM rem GROUP BY doc_id)
+  -- array-native rebuild, map-side per doc: keep ws[i] unless its
+  -- 0-based position i-1 is in the removal list; identical to the
+  -- old string_agg(tok, ' ' ORDER BY p) because ws IS the position
+  -- order
+  SELECT t.doc_id,
+         CAST(len(ws) - len(rl) AS BIGINT) AS n_kept,
+         -- inner COALESCE: DuckDB's array_to_string returns NULL
+         -- (not '') for an empty list, and a fully-removed doc must
+         -- hash to md5('') exactly like the Spark side
+         md5(COALESCE(array_to_string(
+           list_filter(
+             list_transform(range(1, len(ws) + 1),
+               i -> CASE WHEN list_contains(rl, i - 1)
+                         THEN NULL ELSE ws[i] END),
+             x -> x IS NOT NULL), ' '), '')) AS cleaned_hash
+  FROM tok t JOIN remlist USING (doc_id)),
+remc AS (SELECT doc_id, CAST(len(rl) AS BIGINT) AS n_removed
+         FROM remlist)
 SELECT t.doc_id,
        CAST(len(ws) AS BIGINT) AS n_tokens,
        CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
-       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
-       COALESCE(cleaned_hash, '{_EMPTY_MD5}') AS cleaned_hash
+       CAST(COALESCE(c.n_kept, len(ws)) AS BIGINT) AS n_kept,
+       COALESCE(c.cleaned_hash,
+                md5(array_to_string(ws, ' '))) AS cleaned_hash
 FROM tok t
 LEFT JOIN remc USING (doc_id)
-LEFT JOIN cleaned USING (doc_id)
+LEFT JOIN cleaned c USING (doc_id)
 """
 
 

@@ -151,7 +151,14 @@ def run(
         try:
             spark_pdf = spec.spark(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {e}")
+            # surface BOTH failures: a compound crash used to print
+            # only the spark error, hiding the oracle's (found when a
+            # 100x run reported a bare spark error after the oracle
+            # had also died)
+            duck_part = (
+                f"  [duckdb ALSO failed: {duck_err}]" if duck_err else ""
+            )
+            print(f"FAIL  {name}: spark error: {e}{duck_part}")
             ok = False
             continue
         finally:

@@ -8,7 +8,7 @@ subprocess isolation (one family's straggler cannot block the rest)
 and a per-query retry lane so a family-batch timeout still yields
 per-query verdicts.
 
-Queries whose oracles are legitimately superlinear at 5M docs / 2M
+Queries whose oracles are legitimately superlinear at 500k docs / 200k
 vectors get a DOCUMENTED BOUND instead of a run (X100_ORACLE_BOUNDS
 below) — the Spark side of each is bucketed and separately measured;
 it is the *verification* SQL whose brute shape cannot fit one node.
