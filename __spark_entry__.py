@@ -386,16 +386,74 @@ _GREEN_R09 = frozenset({
 #    fragment): exact by theorem and pinned bit-equal to brute by
 #    the unit suite, but the SPARK PLAN of every prefix-filter
 #    consumer changed, so each re-earns a hash-checked driver row.
-#    (pipeline_curate_near_dedup rides MinHash banding, and
-#    dedup_semantic_keep_one rides cosine LSH — their Spark plans
-#    are untouched; oracle-side cand/inter CTE changes were proven
-#    value-invariant by full compares at sf0.001 + sf0.01.)
+#    (CORRECTION, r10 ADVICE: the original comment here claimed the
+#    MinHash consumers' Spark plans were untouched — wrong. The
+#    round-10 verification rewrite (pair_intersections /
+#    array_intersect replacing the exploded token re-join) changed
+#    the plans of dedup_minhash_lsh, dedup_cross_corpus_minhash, and
+#    pipeline_curate_near_dedup, and their oracles gained
+#    list_intersect inter CTEs. dedup_minhash_lsh happened to ride
+#    the staleness rotation and earned a green r10 driver row WITH
+#    the new plan; the other two did not and are re-tiered in
+#    _CHANGED_R11 below.)
 _CHANGED_R10 = frozenset({
     "embedding_standardize_dims",
     "dedup_ngram_jaccard", "dedup_threshold_curve",
     "dedup_containment_pairs", "dedup_lsh_eval",
     "dedup_connected_components", "dedup_clusters_keep_one",
     "dedup_source_priority_keep_one", "pipeline_leakage_safe_split",
+})
+
+# Queries with a driver-green CORRECTNESS_r10 row (50/50 hash_match:
+# every _CHANGED_R10 member plus the stalest r03/r04-era
+# re-confirmations the rotation emitted — incl. dedup_minhash_lsh,
+# whose round-10 plan change (pair_intersections verify path) was
+# thereby driver-verified even though it was mistakenly left out of
+# _CHANGED_R10).
+_GREEN_R10 = frozenset({
+    "agg_approx_percentile_bounded", "agg_count_filtered",
+    "agg_minmax_key", "ann_ivf_fixed_codebook", "ann_lsh_bucketed",
+    "ann_topk_bruteforce", "dedup_clusters_keep_one",
+    "dedup_connected_components", "dedup_containment_pairs",
+    "dedup_exact", "dedup_exact_tokenset", "dedup_lsh_eval",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_source_priority_keep_one", "dedup_threshold_curve",
+    "embedding_int8_quantize", "embedding_kmeans_assign",
+    "embedding_standardize_dims", "events_latest_snapshot",
+    "events_scd2_history", "events_value_outliers",
+    "funnel_signup_to_purchase", "grouped_map_minmax_norm",
+    "multimodal_binary_meta", "multimodal_feature_stub",
+    "multimodal_frame_sample", "multimodal_resize_plan",
+    "pipeline_chunk_documents", "pipeline_dedup_chunks",
+    "pipeline_hash_sample", "pipeline_incremental_dedup",
+    "pipeline_leakage_safe_split", "pipeline_reservoir_per_source",
+    "pipeline_stratified_sample", "pipeline_token_budget_shards",
+    "pipeline_train_val_test", "scan_predicate", "sessionize_events",
+    "text_fingerprint", "text_langid_heuristic",
+    "text_length_histogram", "text_tfidf_top_terms",
+    "text_token_stats", "text_topk_ngrams", "udaf_weighted_discount",
+    "udtf_token_stats", "variant_extract_events",
+    "window_first_last_orders", "zorder_bucket_stats",
+})
+
+# Changed (or change-detected late) in round 11 — each re-earns a
+# hash-checked driver row, so they lead the r11 emission:
+#  * dedup_cross_corpus_minhash / pipeline_curate_near_dedup: their
+#    round-10 Spark plans changed (pair_intersections /
+#    array_intersect verification) and their oracles gained
+#    list_intersect CTEs, but the _CHANGED_R10 set omitted them (r10
+#    ADVICE, medium). Both are hash-green in the builder's own
+#    sf0.001/sf0.01/10x/100x sweeps with the new plan; driver rows
+#    are the hard signal they still owe.
+#  * dedup_exact_substring_removal: round-11 oracle-only rewrite of
+#    the cleaned-doc rebuild (per-position list_contains ->
+#    boundary-slice concatenation, linear in doc length — r10
+#    ADVICE, low). Value-invariant by full compares at sf0.001 +
+#    sf0.01; re-emits under the text_fuzzy_match_parts precedent for
+#    oracle ALGORITHM changes.
+_CHANGED_R11 = frozenset({
+    "dedup_cross_corpus_minhash", "pipeline_curate_near_dedup",
+    "dedup_exact_substring_removal",
 })
 
 # NOT re-tiered in round 9, deliberately: the DuckDB-rounding fix
@@ -411,14 +469,16 @@ _CHANGED_R10 = frozenset({
 _CHECKED_GOOD = (
     (
         _GREEN_R01 | _GREEN_R03 | _GREEN_R04 | _GREEN_R05 | _GREEN_R06
-        | _GREEN_R08 | _GREEN_R09
+        | _GREEN_R08 | _GREEN_R09 | _GREEN_R10
     )
-    - _CHANGED_R10
+    - _CHANGED_R11
 ) | _ROWS_ONLY_BY_DESIGN
 
 
 def _staleness_round(name: str) -> int:
     """Most recent round with a green driver row for *name* (0 = never)."""
+    if name in _GREEN_R10:
+        return 10
     if name in _GREEN_R09:
         return 9
     if name in _GREEN_R08:

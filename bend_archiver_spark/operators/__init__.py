@@ -8,6 +8,7 @@ wraps these with fixed parameters for the correctness gate).
 from .dedup import (
     exact_dedup,
     jaccard_pairs,
+    pair_intersections,
     prefix_filter_candidates,
     minhash_lsh_dedup,
     shingle,
@@ -30,6 +31,7 @@ __all__ = [
     "exact_dedup",
     "shingle",
     "jaccard_pairs",
+    "pair_intersections",
     "prefix_filter_candidates",
     "minhash_lsh_dedup",
     "simhash_fingerprints",

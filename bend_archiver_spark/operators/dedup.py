@@ -19,6 +19,7 @@ __all__ = [
     "hashed_shingle",
     "prefix_filter_candidates",
     "jaccard_pairs",
+    "pair_intersections",
     "minhash_lsh_dedup",
     "minhash_lsh_cross",
     "simhash_fingerprints",

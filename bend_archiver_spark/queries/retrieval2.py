@@ -211,22 +211,30 @@ remlist AS MATERIALIZED (
   -- (26M token rows) while every other stage ran in seconds.
   SELECT doc_id, list(p) AS rl FROM rem GROUP BY doc_id),
 cleaned AS (
-  -- array-native rebuild, map-side per doc: keep ws[i] unless its
-  -- 0-based position i-1 is in the removal list; identical to the
-  -- old string_agg(tok, ' ' ORDER BY p) because ws IS the position
-  -- order
-  SELECT t.doc_id,
+  -- array-native rebuild, map-side per doc AND linear in doc length:
+  -- the sorted 0-based removal list rl becomes slice boundaries
+  -- b = [-1] + sort(rl) + [len(ws)], and the kept text is the
+  -- concatenation of the inter-boundary slices ws[b[k]+2 .. b[k+1]]
+  -- (1-based inclusive = 0-based positions b[k]+1 .. b[k+1]-1).
+  -- Total slice work is sum of segment lengths = O(len(ws)); the
+  -- previous list_contains(rl, i-1)-per-position form degraded to
+  -- O(len(ws)*len(rl)) on heavily-duplicated long docs. Identical to
+  -- string_agg(tok, ' ' ORDER BY p) because ws IS the position order
+  -- and rl is DISTINCT.
+  SELECT doc_id,
          CAST(len(ws) - len(rl) AS BIGINT) AS n_kept,
          -- inner COALESCE: DuckDB's array_to_string returns NULL
          -- (not '') for an empty list, and a fully-removed doc must
          -- hash to md5('') exactly like the Spark side
          md5(COALESCE(array_to_string(
-           list_filter(
-             list_transform(range(1, len(ws) + 1),
-               i -> CASE WHEN list_contains(rl, i - 1)
-                         THEN NULL ELSE ws[i] END),
-             x -> x IS NOT NULL), ' '), '')) AS cleaned_hash
-  FROM tok t JOIN remlist USING (doc_id)),
+           flatten(list_transform(range(1, len(b)),
+             k -> list_slice(ws, b[k] + 2, b[k + 1]))), ' '),
+           '')) AS cleaned_hash
+  FROM (
+    SELECT t.doc_id, ws, rl,
+           list_concat(list_prepend(-1, list_sort(rl)),
+                       [len(ws)]) AS b
+    FROM tok t JOIN remlist USING (doc_id))),
 remc AS (SELECT doc_id, CAST(len(rl) AS BIGINT) AS n_removed
          FROM remlist)
 SELECT t.doc_id,
