@@ -451,9 +451,27 @@ _GREEN_R10 = frozenset({
 #    ADVICE, low). Value-invariant by full compares at sf0.001 +
 #    sf0.01; re-emits under the text_fuzzy_match_parts precedent for
 #    oracle ALGORITHM changes.
+#  * dedup_simhash: oracle ALGORITHM rewrite — candidate generation
+#    now mirrors the Spark two-level pigeonhole (4 wide blocks x
+#    radius-2 enumerated balls) instead of the brute O(n^2)
+#    fingerprint self-join, which is what lets the 100x sweep RUN
+#    this oracle (1.25e11 brute pair evaluations -> ~4e7
+#    candidates). Exact by the pigeonhole theorem; pigeonhole==brute
+#    pinned in DuckDB itself at sf0.001 + sf0.01
+#    (tests/test_oracle_parity.py).
+#  * dedup_embedding_cosine / dedup_semantic_keep_one: the LSH gate's
+#    plane count is now SCALE-ADAPTIVE on both engines (smallest p in
+#    [6,15] with 2^p*64 >= n — Python integer loop Spark-side, the
+#    generated threshold-CASE ladder oracle-side, lockstep-pinned).
+#    Every driver corpus sits at the 6-plane floor so values are
+#    unchanged where previously verified, but the plan gained the
+#    corpus-size probe and the oracle gained the params CTE — plan
+#    AND oracle changed, both re-earn rows.
 _CHANGED_R11 = frozenset({
     "dedup_cross_corpus_minhash", "pipeline_curate_near_dedup",
     "dedup_exact_substring_removal",
+    "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_semantic_keep_one",
 })
 
 # NOT re-tiered in round 9, deliberately: the DuckDB-rounding fix

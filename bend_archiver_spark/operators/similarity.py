@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..queries.base import fanout
 
 __all__ = [
+    "adaptive_planes",
     "explode_quantized",
     "quantized_vectors",
     "cosine_pairs",
@@ -36,6 +37,38 @@ __all__ = [
 ]
 
 QSCALE = 1_000_000
+
+# Scale-adaptive LSH sizing. With a FIXED plane count p there are only
+# 2^p buckets per table, so by convexity of sum-of-C(bucket,2) the
+# candidate volume of ANY corpus of n vectors is at least
+# tables * 2^p * C(n/2^p, 2) ~ n^2/2^p — a floor no corpus shape can
+# beat (uniform occupancy is the BEST case, clustered corpora are
+# strictly worse). 6 planes is right for thousands of vectors and a
+# quadratic wall at hundreds of thousands; the standard fix (Indyk &
+# Motwani; Charikar's hyperplane family) is planes ~ log2(n), keeping
+# expected bucket occupancy — and therefore candidates-per-vector —
+# constant as the corpus grows.
+LSH_PLANES_FLOOR = 6  # never fewer: the small-corpus sweet spot
+LSH_PLANES_CAP = 15  # 32k buckets/table; revisit past ~2M vectors
+LSH_TARGET_BUCKET = 64  # target mean bucket occupancy
+
+
+def adaptive_planes(
+    n_vectors: int,
+    floor_planes: int = LSH_PLANES_FLOOR,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    cap: int = LSH_PLANES_CAP,
+) -> int:
+    """Smallest plane count p in [floor_planes, cap] with
+    ``2^p * target_bucket >= n_vectors`` (i.e. mean bucket occupancy
+    <= target_bucket). Pure integer arithmetic — the DuckDB oracle
+    mirrors it as a threshold CASE ladder over the same boundaries
+    (queries/dedup.py), so the two engines can never diverge on
+    float-log rounding at an exact power-of-two corpus size."""
+    p = floor_planes
+    while p < cap and (1 << p) * target_bucket < n_vectors:
+        p += 1
+    return p
 
 
 def _hash_sign(j: int, i: int) -> int:
@@ -241,7 +274,7 @@ def cosine_pairs_lsh(
     vec_col: str,
     threshold: float,
     n_tables: int = 8,
-    n_planes: int = 6,
+    n_planes: int | None = 6,
     dim: int = 64,
 ) -> DataFrame:
     """Near-dup pairs with cosine >= threshold, candidates gated by
@@ -251,7 +284,18 @@ def cosine_pairs_lsh(
     candidate is then verified with one exact int64 ``zip_with`` dot.
     Missed pairs are those colliding in no table — see
     :func:`lsh_table_buckets` for the recall model; for actual
-    near-dups (cosine >= ~0.85) recall is effectively 1."""
+    near-dups (cosine >= ~0.85) recall is effectively 1 at the
+    6-plane floor and degrades gracefully as planes grow.
+
+    ``n_planes=None`` sizes the gate from the corpus:
+    :func:`adaptive_planes` keeps mean bucket occupancy bounded
+    (planes ~ log2(n)), which is what holds candidates to O(n) as the
+    corpus scales — a fixed plane count has an n^2/2^p candidate
+    FLOOR regardless of corpus shape (see the module comment). The
+    corpus size comes from one ``df.count()`` — a scalar metadata
+    probe of the same class as the planner's bounds probes."""
+    if n_planes is None:
+        n_planes = adaptive_planes(df.count())
     # persist the quantized-vector table: it feeds the bucket
     # derivation AND both verification sides, and without the barrier
     # each consumer re-runs the scan+quantize — measured 4 embedding

@@ -350,9 +350,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
+# Two-level pigeonhole parameters, derived with the SAME formulas as
+# operators.dedup.simhash_pairs_banded so the oracle's candidate
+# generation stays in lockstep with the Spark plan. The oracle SQL
+# below is written for the uniform-width radius-2 case the registered
+# 60/10 config produces (4 blocks x 15 bits); the assert trips at
+# import if a parameter change ever leaves that regime.
+_SH_NBLOCKS = min(max(1, -(-(_HAMMING_MAX + 1) // 3)), _SIMHASH_BITS)
+_SH_RADIUS = _HAMMING_MAX // _SH_NBLOCKS
+_SH_BW, _SH_REM = divmod(_SIMHASH_BITS, _SH_NBLOCKS)
+assert _SH_REM == 0 and _SH_RADIUS == 2, (
+    "simhash oracle SQL assumes uniform radius-2 blocks; "
+    "re-derive the ball CTE for the new parameters"
+)
+
+# Shared fingerprint derivation (toks -> 60-bit majority simhash):
+# computed independently from the text on the oracle side, so the
+# pigeonhole tail below verifies the Spark fingerprints end-to-end.
+_SIMHASH_SIG_SQL = f"""
     WITH toks AS ({_TOKS_SQL}),
     h AS (SELECT doc_id, {hash64_sql('tok')} AS hv FROM toks),
     bits AS (
@@ -363,16 +378,67 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN ((hv >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
       FROM bits GROUP BY doc_id, bit
     ),
-    sims AS (
+    sims AS MATERIALIZED (
       SELECT doc_id,
              SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
       FROM sums GROUP BY doc_id
+    )"""
+
+# Candidate generation mirroring the Spark two-level pigeonhole: a
+# pair within Hamming hamming_max has SOME block within the inner
+# radius (pigeonhole over {_SH_NBLOCKS} blocks), and d(A,B) <= r iff
+# B's block value lies in the radius-r ball of A's — enumerated on one
+# side (1 + w + C(w,2) variants at r=2) and equi-joined against the
+# identity side. Exact Hamming verification on candidates makes the
+# result identical to the brute self-join (_SIMHASH_BRUTE_TAIL, pinned
+# by tests/test_oracle_parity.py::TestSimhashOracleParity); the
+# brute tail is 1.25e11 pair evaluations at the 100x corpus, the
+# pigeonhole tail ~4e7 — this is what lets the 100x sweep RUN the
+# simhash oracle instead of documenting a bound.
+_SIMHASH_PIGEONHOLE_TAIL = f""",
+    blocks AS MATERIALIZED (
+      SELECT doc_id, simhash, blk.bi AS block_idx,
+             ((simhash >> (blk.bi * {_SH_BW})) & {(1 << _SH_BW) - 1}) AS v
+      FROM sims, (SELECT unnest(range(0, {_SH_NBLOCKS})) AS bi) blk
+    ),
+    ball AS (
+      SELECT doc_id, simhash, block_idx,
+             unnest(list_prepend(v,
+               list_transform(range(0, {_SH_BW}),
+                              i -> xor(v, 1::BIGINT << i)) ||
+               flatten(list_transform(range(0, {_SH_BW - 1}), i ->
+                 list_transform(range(i + 1, {_SH_BW}), j ->
+                   xor(xor(v, 1::BIGINT << i),
+                       1::BIGINT << j)))))) AS w
+      FROM blocks
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                      b.doc_id AS doc_b, b.simhash AS sim_b
+      FROM ball a JOIN blocks b
+        ON b.block_idx = a.block_idx AND b.v = a.w
+       AND a.doc_id < b.doc_id
     )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_MAX}
+"""
+
+# Brute O(n^2) tail — NOT registered (infeasible past ~50k docs);
+# kept as the independent-algorithm anchor the parity test runs both
+# tails against at sf0.001 + sf0.01.
+_SIMHASH_BRUTE_TAIL = f"""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM sims a JOIN sims b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
-    """,
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SIMHASH_SIG_SQL + _SIMHASH_PIGEONHOLE_TAIL,
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,12 +463,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 # LSH gating parameters (identical on both engines): 8 independent
-# hash tables x 6 hyperplanes; signs from the portable md5 hash of the
-# global plane index. Recall at cosine c: 1-(1-p^6)^8, p=1-acos(c)/pi
-# -> ~0.998 at c=0.9 (actual near-dups), while random (c~0) pairs
-# collide ~1/64 per table, keeping candidates ~O(n^2/8) on this
-# uniform-random corpus and far sparser on clustered real data.
-_LSH_TABLES, _LSH_PLANES = 8, 6
+# hash tables; the plane count per table is SCALE-ADAPTIVE — the
+# smallest p in [6, 15] with 2^p * 64 >= n_vectors (operators.
+# similarity.adaptive_planes; the oracle mirrors it as the integer
+# threshold ladder _PLANES_CASE_SQL, generated from the SAME
+# constants, lockstep-pinned by tests/test_oracle_parity.py). Signs
+# come from the portable md5 hash of the global plane index. Every
+# driver corpus (n <= 4096) sits at the 6-plane floor, where recall
+# at cosine c is 1-(1-p^6)^8, p=1-acos(c)/pi -> ~0.998 at c=0.9; a
+# FIXED 6 planes, though, has a candidate floor of ~n^2/64 per table
+# for ANY corpus (64 buckets, convexity of sum-of-C(bucket,2)), which
+# is why the plane count must grow with log2(n) for the gate to stay
+# selective at the 100x corpus (200k vectors -> 12 planes).
+_LSH_TABLES = 8
+_PLANES_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN n <= {(1 << p) * sim_ops.LSH_TARGET_BUCKET} THEN {p}"
+        for p in range(
+            sim_ops.LSH_PLANES_FLOOR, sim_ops.LSH_PLANES_CAP
+        )
+    )
+    + f" ELSE {sim_ops.LSH_PLANES_CAP} END"
+)
 
 _COSINE_LSH_SQL = f"""
     WITH e AS MATERIALIZED (
@@ -413,15 +496,22 @@ _COSINE_LSH_SQL = f"""
     ),
     norms AS MATERIALIZED (
       SELECT vec_id, SUM(xq * xq) AS nrm FROM e GROUP BY vec_id),
+    params AS MATERIALIZED (
+      SELECT {_PLANES_CASE_SQL} AS np
+      FROM (SELECT COUNT(*) AS n FROM embeddings)
+    ),
     signs AS (
-      SELECT g.j, d.i,
+      SELECT g.j // p.np AS tbl, g.j % p.np AS bit, d.i,
              CASE WHEN {hash64_sql("concat(g.j, '_', d.i)")} % 2 = 1
                   THEN 1 ELSE -1 END AS sgn
-      FROM (SELECT unnest(range(0, {_LSH_TABLES * _LSH_PLANES})) AS j) g,
-           (SELECT unnest(range(0, 64)) AS i) d
+      FROM (SELECT unnest(range(0,
+                {_LSH_TABLES * sim_ops.LSH_PLANES_CAP})) AS j) g
+      CROSS JOIN params p
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS i) d
+      WHERE g.j < {_LSH_TABLES} * p.np
     ),
     proj AS (
-      SELECT e.vec_id, s.j // {_LSH_PLANES} AS tbl, s.j % {_LSH_PLANES} AS bit,
+      SELECT e.vec_id, s.tbl, s.bit,
              SUM(e.xq * s.sgn) AS dot_j
       FROM e JOIN signs s ON s.i = e.i
       GROUP BY 1, 2, 3
@@ -463,15 +553,18 @@ _COSINE_LSH_SQL = f"""
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.45), candidates
-    gated by multi-table hyperplane LSH (8 tables x 6 planes) and
-    verified with exact int64 dots — never O(n^2). The exact
-    brute-force pair scan (operators.similarity.cosine_pairs) remains
-    the in-repo recall oracle (tests/test_similarity.py planted-pair
-    fixture). Delegates to operators.similarity.cosine_pairs_lsh."""
+    gated by multi-table hyperplane LSH (8 tables, scale-adaptive
+    plane count — 6 at every driver corpus, growing with log2(n) so
+    candidates stay O(n) instead of hitting the fixed-plane n^2/2^p
+    floor) and verified with exact int64 dots — never O(n^2). The
+    exact brute-force pair scan (operators.similarity.cosine_pairs)
+    remains the in-repo recall oracle (tests/test_similarity.py
+    planted-pair fixture). Delegates to
+    operators.similarity.cosine_pairs_lsh."""
     emb = t(spark, sf_dir, "embeddings")
     return sim_ops.cosine_pairs_lsh(
         emb, "vec_id", "embedding", _COSINE_THRESHOLD,
-        n_tables=_LSH_TABLES, n_planes=_LSH_PLANES,
+        n_tables=_LSH_TABLES, n_planes=None,
     )
 
 
