@@ -35,34 +35,25 @@ from collections import defaultdict
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-ARTIFACT = os.path.join(REPO, "X100_SWEEP_r10.json")
+ARTIFACT = os.path.join(REPO, "X100_SWEEP_r11.json")
 
-# Oracles that are legitimately SUPERLINEAR at the 100x corpus
-# (500k documents / 2M vectors / 60M lineitem). Each entry names the
-# brute verification shape that cannot run on one node at this size;
-# the Spark side stays bucketed (banding / prefix filter / pigeonhole
-# / fixed probe sets) and is hash-proven at 10x by the full sweep.
-X100_ORACLE_BOUNDS = {
-    "dedup_simhash": (
-        "oracle verifies via the brute O(n^2) fingerprint self-join "
-        "(sims a JOIN sims b ON a.doc_id < b.doc_id) — 1.25e11 pair "
-        "evaluations at 500k docs; the Spark side's two-level "
-        "pigeonhole was measured standalone at 100x (3.9e7 candidates)"
-    ),
-    "dedup_embedding_cosine": (
-        "both engines gate by 8x6 hyperplane LSH, but this corpus is "
-        "uniform-random, so random pairs collide ~1/64 per table: "
-        "candidates ~n^2/16 = 2.5e9 exact 64-dim verifications at "
-        "200k vectors — ~100x the verify volume the 10x sweep "
-        "proved. Real (clustered) corpora are the design target; "
-        "the operator is hash-proven at 10x (20k vectors)"
-    ),
-    "dedup_semantic_keep_one": (
-        "composes dedup_embedding_cosine's LSH candidates (same "
-        "n^2/16 uniform-random bound at 200k vectors) before the "
-        "component rollup; hash-proven at 10x"
-    ),
-}
+# Oracles that are legitimately SUPERLINEAR at the 100x corpus — NONE
+# as of round 11. The three round-10 bounds were closed by engine /
+# oracle rewrites, not waived:
+#  * dedup_simhash: the oracle now generates candidates via the same
+#    two-level pigeonhole as the Spark plan (exact by theorem;
+#    pigeonhole==brute pinned in DuckDB at sf0.001+sf0.01 by
+#    tests/test_oracle_parity.py) — 1.25e11 brute pair evaluations
+#    became ~4e7 candidates.
+#  * dedup_embedding_cosine / dedup_semantic_keep_one: the fixed
+#    6-plane gate had a ~n^2/64-per-table candidate FLOOR for any
+#    corpus (64 buckets per table, convexity of sum-of-C(bucket,2) —
+#    the round-10 "uniform-random corpus artifact" diagnosis was
+#    wrong: uniform occupancy is the BEST case). Both engines now
+#    size planes ~ log2(n) (operators.similarity.adaptive_planes and
+#    its CASE-ladder oracle twin), which bounds candidates at
+#    ~4e7 at 200k vectors.
+X100_ORACLE_BOUNDS: dict[str, str] = {}
 
 
 def families() -> dict[str, list[str]]:
