@@ -73,6 +73,7 @@ def incremental_archive(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     trigger_once: bool = True,
     foreach_batch: Callable[[DataFrame, int], None] | None = None,
+    reader_options: dict[str, str] | None = None,
 ) -> StreamingQuery:
     """Continuously archive files landing under ``source_path`` into
     ``target_path``. ``trigger_once`` processes the backlog and stops —
@@ -91,12 +92,18 @@ def incremental_archive(
     unless the callable is idempotent per ``batch_id`` — a restart
     after a batch write but before the checkpoint commit re-runs the
     same batch id; blind appends would duplicate it.
+
+    ``reader_options`` pass through to the source (e.g.
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``, which
+    ``availableNow`` honors) — the pacing knob that keeps one backlog
+    drain from forming a single giant micro-batch at 100 TB: each
+    batch's state and shuffle must fit the cluster, so the backlog is
+    consumed as bounded increments with a commit per batch.
     """
-    reader = (
-        spark.readStream.format(source_format)
-        .schema(schema)
-        .load(source_path)
-    )
+    reader_builder = spark.readStream.format(source_format).schema(schema)
+    for k, v in (reader_options or {}).items():
+        reader_builder = reader_builder.option(k, v)
+    reader = reader_builder.load(source_path)
     if transform is not None:
         reader = transform(reader)
 

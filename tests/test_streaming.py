@@ -40,6 +40,35 @@ class TestIncrementalArchive:
         assert spark.read.parquet(tgt).count() == n2
         shutil.rmtree(str(tmp_path), ignore_errors=True)
 
+    def test_reader_options_pace_the_backlog(self, spark, sf_dir, tmp_path):
+        """maxFilesPerTrigger under availableNow must drain a
+        multi-file backlog as MULTIPLE bounded micro-batches with a
+        commit each — the 100 TB pacing contract (one giant batch =
+        one giant shuffle) — without changing the exactly-once total."""
+        src = str(tmp_path / "psrc")
+        tgt = str(tmp_path / "ptgt")
+        ckpt = str(tmp_path / "pckpt")
+        events = load_table(spark, sf_dir, "events")
+        events.repartition(4).write.mode("append").parquet(src)
+
+        batch_ids: list[int] = []
+
+        def write_batch(df, batch_id: int) -> None:
+            df.write.mode("overwrite").parquet(f"{tgt}/batch={batch_id}")
+            batch_ids.append(batch_id)
+
+        q = incremental_archive(
+            spark, src, tgt, events.schema, ckpt,
+            foreach_batch=write_batch,
+            reader_options={"maxFilesPerTrigger": "1"},
+        )
+        q.awaitTermination(120)
+        assert len(batch_ids) == 4, batch_ids  # one batch per file
+        got = spark.read.parquet(tgt)
+        assert got.count() == events.count()
+        assert got.select("event_id").distinct().count() == events.count()
+        shutil.rmtree(str(tmp_path), ignore_errors=True)
+
 
 class TestWindowedCounts:
     def test_batch_and_streaming_agree(self, spark, sf_dir, tmp_path):

@@ -41,6 +41,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
@@ -336,6 +337,158 @@ spark.stop()
 """
 
 
+# Streaming rehearsal at an arbitrary corpus (the 100x row): the
+# availableNow incremental archive drains the corpus's lineitem as
+# paced micro-batches (maxFilesPerTrigger) through an idempotent
+# foreachBatch writer, with a REAL process kill mid-run — attempt 1
+# injects a failure AFTER batch 1's write but BEFORE its checkpoint
+# commit (the worst crash point) and the whole JVM exits; attempt 2
+# is a fresh process on the same checkpoint that must replay exactly
+# the uncommitted batch id and drain the rest. The parent then
+# asserts counts AND order-insensitive content fingerprints
+# (verify.content_fingerprint) between source and target — the
+# at-scale twin of tests/test_streaming.py::TestFailureInjection,
+# which proves the same contract at 300 rows. Reference analog: the
+# paged time-split loop + per-run verification, worker/worker.go:
+# 176-228,244-259.
+_STREAM_ATTEMPT = """
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from bend_archiver_spark.session import get_spark
+from bend_archiver_spark.streaming.archive import incremental_archive
+from bend_archiver_spark.verify import content_fingerprint
+spark = get_spark("stream_rehearsal")
+src, tgt, ckpt, logd = {src!r}, {tgt!r}, {ckpt!r}, {logd!r}
+inject = {inject!r}
+attempt = "a1" if inject else "a2"
+os.makedirs(logd, exist_ok=True)
+schema = spark.read.parquet(src).schema
+
+def write_batch(df, batch_id):
+    df.write.mode("overwrite").parquet(f"{{tgt}}/batch={{batch_id}}")
+    with open(f"{{logd}}/{{attempt}}_{{batch_id}}_{{time.time_ns()}}", "w"):
+        pass
+    if inject and batch_id >= 1:
+        raise RuntimeError("injected mid-batch failure at scale")
+
+t0 = time.monotonic()
+q = incremental_archive(
+    spark, src, tgt, schema, ckpt, foreach_batch=write_batch,
+    reader_options={{"maxFilesPerTrigger": "2"}},
+)
+try:
+    q.awaitTermination()
+except Exception as exc:
+    ok = inject and "injected" in str(exc)
+    print("STREAM_FAIL", "expected" if ok else f"UNEXPECTED: {{exc}}")
+    spark.stop()
+    sys.exit(0 if ok else 1)
+wall = time.monotonic() - t0
+src_df = spark.read.parquet(src)
+cols = src_df.columns
+tgt_df = spark.read.parquet(tgt).select(*cols)
+print("STREAM_RESULT", json.dumps({{
+    "rows_source": src_df.count(),
+    "rows_target": tgt_df.count(),
+    "fp_source": content_fingerprint(src_df.select(*cols)),
+    "fp_target": content_fingerprint(tgt_df),
+    "resume_wall_sec": round(wall, 1),
+}}))
+spark.stop()
+"""
+
+
+def streaming_at_scale(sf_dir: str, timeout: int = 3600) -> dict:
+    """Kill/restart exactly-once rehearsal of the incremental archive
+    over *sf_dir*'s lineitem (see _STREAM_ATTEMPT)."""
+    import glob
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_rehearsal_")
+    src = f"{work}/src"
+    tgt, ckpt, logd = f"{work}/tgt", f"{work}/ckpt", f"{work}/log"
+    try:
+        # land the corpus as an 8-file backlog (the "files arriving"
+        # production shape; 2 files per trigger -> 4 micro-batches)
+        prep = (
+            "import sys; sys.path.insert(0, {repo!r})\n"
+            "from bend_archiver_spark.session import get_spark\n"
+            "spark = get_spark('stream_prep')\n"
+            "spark.read.parquet({lineitem!r}).repartition(8)"
+            ".write.parquet({src!r})\n"
+            "spark.stop()\n"
+        ).format(
+            repo=REPO, lineitem=f"{sf_dir}/lineitem.parquet", src=src
+        )
+        subprocess.run(
+            [sys.executable, "-c", prep],
+            check=True,
+            capture_output=True,
+            timeout=timeout,
+        )
+        walls = {}
+        for inject in (True, False):
+            t0 = time.monotonic()
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    _STREAM_ATTEMPT.format(
+                        repo=REPO, src=src, tgt=tgt, ckpt=ckpt,
+                        logd=logd, inject=inject,
+                    ),
+                ],
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+            )
+            walls["a1" if inject else "a2"] = round(
+                time.monotonic() - t0, 1
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"attempt inject={inject} rc={proc.returncode}:\n"
+                    f"{proc.stdout[-1000:]}\n{proc.stderr[-2000:]}"
+                )
+            if not inject:
+                line = next(
+                    ln
+                    for ln in proc.stdout.splitlines()
+                    if ln.startswith("STREAM_RESULT ")
+                )
+                res = json.loads(line.split(" ", 1)[1])
+        # the invocation log is the replay proof: attempt 1 must have
+        # died on batch 1 (after batch 0 committed), attempt 2 must
+        # have REPLAYED that same uncommitted batch id, and together
+        # they drained all 4 paced batches exactly once per commit
+        a1 = sorted(
+            int(os.path.basename(p).split("_")[1])
+            for p in glob.glob(f"{logd}/a1_*")
+        )
+        a2 = sorted(
+            int(os.path.basename(p).split("_")[1])
+            for p in glob.glob(f"{logd}/a2_*")
+        )
+        assert a1 == [0, 1], a1
+        assert a2 and a2[0] == 1, (a1, a2)
+        assert sorted(set(a1) | set(a2)) == [0, 1, 2, 3], (a1, a2)
+        assert res["rows_source"] == res["rows_target"], res
+        assert res["fp_source"] == res["fp_target"], res
+        return {
+            "rows": res["rows_source"],
+            "batches_attempt1": a1,
+            "batches_attempt2_replayed_then_drained": a2,
+            "wall_sec_to_crash": walls["a1"],
+            "wall_sec_resume": walls["a2"],
+            "resume_wall_sec": res["resume_wall_sec"],
+            "counts_match": True,
+            "fingerprints_match": True,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def archive_at_scale(sf_dir: str, timeout: int = 3600) -> dict:
     """Run the archive job once against *sf_dir*'s lineitem with the
     partition-count assertion + spill/peak-memory capture."""
@@ -386,7 +539,18 @@ def main() -> None:
         help="run ONLY the asserted archive job against this corpus "
         "(e.g. /tmp/scale_correctness/x100) and print its JSON row",
     )
+    ap.add_argument(
+        "--streaming-at",
+        default=None,
+        metavar="SF_DIR",
+        help="run ONLY the kill/restart exactly-once streaming "
+        "rehearsal against this corpus's lineitem and print its "
+        "JSON row",
+    )
     args = ap.parse_args()
+    if args.streaming_at:
+        print(json.dumps(streaming_at_scale(args.streaming_at)))
+        return
     if args.archive_at:
         print(json.dumps(archive_at_scale(args.archive_at)))
         return
