@@ -487,6 +487,15 @@ _PLANES_CASE_SQL = (
     + f" ELSE {sim_ops.LSH_PLANES_CAP} END"
 )
 
+# List-based throughout (the same move as the MinHash list_intersect
+# verify): one quantized LIST row per vector feeds both the sign
+# projections and the candidate dot products as 64-term
+# list_aggregate sums — all int64, bit-identical to the exploded
+# SUM(xq*sgn)/SUM(xq_a*xq_b) forms. The exploded per-dimension joins
+# they replace were the 100x wall: proj as e JOIN signs materialized
+# ~1.2e9 intermediate rows and dots as cand JOIN e JOIN e ~2.5e9 —
+# the latter exhausted 70 GB of oracle spill disk at 200k vectors,
+# while the list forms stream 19.2M and ~4e7 rows respectively.
 _COSINE_LSH_SQL = f"""
     WITH e AS MATERIALIZED (
       SELECT vec_id,
@@ -494,6 +503,8 @@ _COSINE_LSH_SQL = f"""
              generate_subscripts(embedding, 1) - 1 AS i
       FROM embeddings
     ),
+    lists AS MATERIALIZED (
+      SELECT vec_id, list(xq ORDER BY i) AS lq FROM e GROUP BY vec_id),
     norms AS MATERIALIZED (
       SELECT vec_id, SUM(xq * xq) AS nrm FROM e GROUP BY vec_id),
     params AS MATERIALIZED (
@@ -510,11 +521,14 @@ _COSINE_LSH_SQL = f"""
       CROSS JOIN (SELECT unnest(range(0, 64)) AS i) d
       WHERE g.j < {_LSH_TABLES} * p.np
     ),
+    slists AS MATERIALIZED (
+      SELECT tbl, bit, list(sgn ORDER BY i) AS sl
+      FROM signs GROUP BY tbl, bit),
     proj AS (
-      SELECT e.vec_id, s.tbl, s.bit,
-             SUM(e.xq * s.sgn) AS dot_j
-      FROM e JOIN signs s ON s.i = e.i
-      GROUP BY 1, 2, 3
+      SELECT l.vec_id, s.tbl, s.bit,
+             list_aggregate(list_transform(range(1, 65),
+               i -> l.lq[i] * s.sl[i]), 'sum') AS dot_j
+      FROM lists l CROSS JOIN slists s
     ),
     buckets AS MATERIALIZED (
       SELECT vec_id, tbl,
@@ -528,11 +542,12 @@ _COSINE_LSH_SQL = f"""
                     AND a.vec_id < b.vec_id
     ),
     dots AS (
-      SELECT cd.vec_a, cd.vec_b, SUM(a.xq * b.xq) AS dot
+      SELECT cd.vec_a, cd.vec_b,
+             list_aggregate(list_transform(range(1, 65),
+               i -> la.lq[i] * lb.lq[i]), 'sum') AS dot
       FROM cand cd
-      JOIN e a ON a.vec_id = cd.vec_a
-      JOIN e b ON b.vec_id = cd.vec_b AND b.i = a.i
-      GROUP BY 1, 2
+      JOIN lists la ON la.vec_id = cd.vec_a
+      JOIN lists lb ON lb.vec_id = cd.vec_b
     )
     SELECT vec_a, vec_b,
            CAST(dot AS DOUBLE)
