@@ -117,6 +117,24 @@ class TestCosineLshRecall:
         missed = [p for p in planted if p not in got]
         assert missed == [], f"LSH gate dropped planted pairs: {missed}"
 
+    def test_adaptive_gate_keeps_planted_pairs_above_the_floor(self, spark):
+        """n_planes=None sizes the gate from the corpus; above the
+        6-plane floor (n > 4096 -> 7+ planes) the narrower buckets
+        must still pass actual near-dups (cosine ~0.95: per-table
+        collision 0.899^p, 8 tables). Planted pairs at that
+        similarity are the usefulness contract the hash-vs-oracle
+        check alone cannot see."""
+        from bend_archiver_spark.operators.similarity import adaptive_planes
+
+        df, planted = self._fixture(spark, n_base=4300, n_planted=12)
+        assert adaptive_planes(4312) == 7  # above the floor
+        out = cosine_pairs_lsh(
+            df, "vec_id", "embedding", 0.85, n_tables=8, n_planes=None
+        )
+        got = {(r.vec_a, r.vec_b) for r in out.collect()}
+        missed = [p for p in planted if p not in got]
+        assert missed == [], f"adaptive gate dropped planted pairs: {missed}"
+
     def test_lsh_pairs_subset_of_bruteforce(self, spark):
         df, _ = self._fixture(spark, n_base=60, n_planted=8)
         brute = {
