@@ -214,8 +214,10 @@ def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the bigram stream is a map-side projection (array
     HOFs build per-position (w1, bigram) structs — no self-join per
-    token); context and bigram count tables are vocabulary-bounded
-    combinable groupBys; the scoring joins are int64-keyed equi-joins
+    token); the stream is aggregated ONCE into a vocabulary-sized
+    (context, bigram) type-count table from which the context counts,
+    bigram counts and vocabulary total all reduce (tiny re-aggs, not
+    corpus passes); the scoring joins are int64-keyed equi-joins
     (hashed keys, never multi-word strings on the wire — AQE
     broadcasts them while they fit, and at web scale they stay
     vocabulary-sized, orders of magnitude below the token stream);
@@ -243,12 +245,12 @@ def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr.alias("w1"),
         F.slice(arr, 2, sz - 1).alias("w2"),
     )
-    # persist the compact (doc_id, c, g) int64 stream: it feeds four
-    # consumers and without the barrier Catalyst recomputes the
-    # explode+md5 front end for each — the same CollapseProject trap
-    # the minhash pipeline pins against. MEMORY_AND_DISK; ~24
-    # bytes/token, spills rather than OOMs; callers clear cache
-    # between queries.
+    # persist the compact (doc_id, c, g) int64 stream: it feeds two
+    # consumers (the (c, g) type-count reduce and the scoring probe)
+    # and without the barrier Catalyst recomputes the explode+md5
+    # front end for each — the same CollapseProject trap the minhash
+    # pipeline pins against. MEMORY_AND_DISK; ~24 bytes/token, spills
+    # rather than OOMs; callers clear cache between queries.
     stream = (
         d.select("doc_id", F.explode(pairs).alias("s"))
         .select(
@@ -264,19 +266,27 @@ def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    bigrams = stream.filter(F.col("g").isNotNull())
-    u = bigrams.groupBy("c").agg(
-        F.count(F.lit(1)).cast("bigint").alias("u_cnt")
+    # ONE full-stream aggregation: counts per (context, bigram) type —
+    # vocabulary-sized output (one row per distinct bigram, plus one
+    # (c, NULL) sentinel row per distinct final-token context). Context
+    # counts, bigram counts AND the vocabulary all reduce from this
+    # small table, so the token stream is aggregated exactly once (the
+    # r07–r11 shape ran three stream-wide reduces — groupBy c, groupBy
+    # g, count_distinct c — each a full map-side pass over every corpus
+    # token at 100 TB).
+    cg = stream.groupBy("c", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    b = bigrams.groupBy("g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("b_cnt")
-    )
-    # vocabulary from the SAME persisted stream: every corpus token is
-    # a w1 row exactly once. Distinct over the 60-bit hash — u_cnt and
-    # b_cnt above already group on that hash, so this adds no NEW
-    # collision assumption (a colliding word pair would already merge
-    # their context counts).
-    vocab = stream.agg(F.count_distinct("c").cast("bigint").alias("vocab"))
+    pairs_cg = cg.filter(F.col("g").isNotNull())
+    u = pairs_cg.groupBy("c").agg(F.sum("n").cast("bigint").alias("u_cnt"))
+    b = pairs_cg.groupBy("g").agg(F.sum("n").cast("bigint").alias("b_cnt"))
+    # vocabulary over the bigram-type table: every corpus token is a
+    # w1 row of the stream exactly once (the sentinel keeps the final
+    # token), and cg preserves each distinct c. Distinct over the
+    # 60-bit hash — u_cnt/b_cnt already group on that hash, so this
+    # adds no NEW collision assumption (a colliding word pair would
+    # already merge their context counts).
+    vocab = cg.agg(F.count_distinct("c").cast("bigint").alias("vocab"))
     bits = (
         F.length(F.bin(F.expr(f"({_LM_S} * (u_cnt + vocab)) div (b_cnt + 1)")))
         - 1
@@ -367,12 +377,15 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket histogram is ONE map-side-combinable groupBy producing
     exactly 512 rows carrying both distributions (raw count +
     conditional target count — no second pass over the target);
-    the 512-row weight table and the 1-row totals broadcast, so the
-    scoring join never shuffles the stream; the per-document reduce
-    is the only full shuffle. Recomputing the stream for the
-    histogram and the scoring pass is two scans of a pruned
-    (doc_id, lang, text) projection — cheaper at 100 TB than
-    persisting an exploded token table."""
+    the corpus-wide totals are derived FROM that 512-row histogram
+    (``sum(r_cnt)``/``sum(t_cnt)`` — every token lands in exactly one
+    bucket), not from a second full-stream aggregate, so the stream is
+    scanned exactly twice: once for the histogram, once for scoring;
+    the 512-row weight table broadcasts, so the scoring join never
+    shuffles the stream; the per-document reduce is the only full
+    shuffle. Recomputing the stream for the histogram and the scoring
+    pass is two scans of a pruned (doc_id, lang, text) projection —
+    cheaper at 100 TB than persisting an exploded token table."""
     d = fanout(t(spark, sf_dir, "documents"))
     stream = d.select(
         "doc_id",
@@ -385,13 +398,17 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_t",
         (hash64_expr(F.col("w")) % _DSIR_BUCKETS).alias("bucket"),
     )
-    totals = stream.agg(
-        F.count(F.lit(1)).cast("bigint").alias("r_total"),
-        F.sum("is_t").cast("bigint").alias("t_total"),
-    )
     cnt = stream.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("r_cnt"),
         F.sum("is_t").cast("bigint").alias("t_cnt"),
+    )
+    # corpus totals from the histogram itself — the buckets partition
+    # the token stream, so summing the 512 rows is exact and saves a
+    # full third scan of every corpus token (the r07–r11 shape ran
+    # stream.agg(...) alongside the groupBy)
+    totals = cnt.agg(
+        F.sum("r_cnt").cast("bigint").alias("r_total"),
+        F.sum("t_cnt").cast("bigint").alias("t_total"),
     )
     qlog_t = (
         F.length(
