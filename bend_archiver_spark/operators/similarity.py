@@ -27,6 +27,7 @@ from ..queries.base import fanout
 
 __all__ = [
     "adaptive_planes",
+    "adaptive_tables",
     "explode_quantized",
     "quantized_vectors",
     "cosine_pairs",
@@ -51,6 +52,36 @@ QSCALE = 1_000_000
 LSH_PLANES_FLOOR = 6  # never fewer: the small-corpus sweet spot
 LSH_PLANES_CAP = 15  # 32k buckets/table; revisit past ~2M vectors
 LSH_TARGET_BUCKET = 64  # target mean bucket occupancy
+
+# Table-count amplification alongside the plane growth. Growing planes
+# alone makes the gate selective but collapses recall: a pair agreeing
+# with per-plane probability p* survives one table with p*^planes, so
+# recall over T tables is 1-(1-p*^planes)^T — at a fixed T=8 the
+# cosine-0.85 near-dup recall falls 0.95 -> 0.56 between 6 and 12
+# planes. The standard LSH amplification (Indyk–Motwani: hold
+# T * p*^planes constant) grows tables by (1/p*)^(extra planes) at a
+# chosen DESIGN cosine. The ladder below is
+# ceil(8 * (1/p*)^(p - 6)) for p in [6, 15] with p* = 1 - acos(0.85)/pi
+# (the near-dup design point), which holds measured recall at:
+#   cosine 0.95: >= 0.998 at every rung;  0.90: 0.982 -> 0.991;
+#   cosine 0.85: 0.950 -> 0.923 (the designed-for band);
+#   cosine 0.70: 0.78 -> 0.44;  0.45: 0.46 -> 0.07 — low-threshold
+# recall is NOT held (amplifying it is exponentially expensive; LSH is
+# a near-dup gate, not a low-similarity join). Work cost is the n^rho
+# law: total projections = tables * planes per vector, and candidate
+# volume grows linearly with tables while staying O(n) per table.
+# Hardcoded integer literals so the DuckDB oracle mirrors the exact
+# ladder (a float-acos at query time could round differently);
+# tests/test_oracle_parity.py re-derives it from the formula.
+LSH_DESIGN_COSINE = 0.85
+LSH_TABLES_LADDER = (8, 10, 12, 15, 18, 22, 26, 32, 38, 46)
+
+
+def adaptive_tables(n_planes: int) -> int:
+    """Table count paired with ``n_planes`` by the amplification
+    ladder above — clamped to the [floor, cap] plane range."""
+    idx = min(max(n_planes, LSH_PLANES_FLOOR), LSH_PLANES_CAP)
+    return LSH_TABLES_LADDER[idx - LSH_PLANES_FLOOR]
 
 
 def adaptive_planes(
@@ -228,7 +259,10 @@ def lsh_table_buckets(
     candidate if it collides in ANY table, so recall at cosine ``c``
     is ``1 - (1 - p^planes)^tables`` with ``p = 1 - acos(c)/pi`` —
     8x6 gives ~99.8% at c=0.9 while keeping random (c~0) collisions
-    ~1/2^6 per table.
+    ~1/2^6 per table. Recall falls as planes grow at FIXED tables
+    (8x12 is ~0.56 at c=0.85); callers that grow planes with corpus
+    size must amplify tables alongside (:func:`adaptive_tables`,
+    the ``LSH_TABLES_LADDER`` recall matrix).
 
     The sign matrix is computed JVM-side ONCE (a one-row broadcast,
     same md5 derivation as :func:`_hash_sign`) and the projections run
@@ -273,7 +307,7 @@ def cosine_pairs_lsh(
     id_col: str,
     vec_col: str,
     threshold: float,
-    n_tables: int = 8,
+    n_tables: int | None = 8,
     n_planes: int | None = 6,
     dim: int = 64,
 ) -> DataFrame:
@@ -282,27 +316,37 @@ def cosine_pairs_lsh(
     :func:`cosine_pairs`. Candidates are pairs sharing a bucket in any
     table (a shuffle join on (tbl, bucket), never O(n^2)); each
     candidate is then verified with one exact int64 ``zip_with`` dot.
-    Missed pairs are those colliding in no table — see
-    :func:`lsh_table_buckets` for the recall model; for actual
-    near-dups (cosine >= ~0.85) recall is effectively 1 at the
-    6-plane floor and degrades gracefully as planes grow.
+    Missed pairs are those colliding in no table: a pair at cosine c
+    agrees with each plane with probability p = 1 - acos(c)/pi, so
+    recall is 1 - (1 - p^planes)^tables — NOT effectively 1; see the
+    ``LSH_TABLES_LADDER`` comment for the measured recall matrix
+    (>= 0.92 for cosine >= 0.85 at every rung, decaying at lower
+    thresholds, e.g. ~0.46 -> ~0.13 at cosine 0.45 between the floor
+    and 12 planes — inherent to LSH amplification economics).
 
     ``n_planes=None`` sizes the gate from the corpus:
     :func:`adaptive_planes` keeps mean bucket occupancy bounded
     (planes ~ log2(n)), which is what holds candidates to O(n) as the
     corpus scales — a fixed plane count has an n^2/2^p candidate
-    FLOOR regardless of corpus shape (see the module comment). The
-    corpus size comes from one ``df.count()`` — a scalar metadata
-    probe of the same class as the planner's bounds probes."""
-    if n_planes is None:
-        n_planes = adaptive_planes(df.count())
-    # persist the quantized-vector table: it feeds the bucket
-    # derivation AND both verification sides, and without the barrier
-    # each consumer re-runs the scan+quantize — measured 4 embedding
-    # scans; with it, ONE (the bucket re-derivations off the cache are
-    # map-only). Same footprint as the vectors themselves; spills
+    FLOOR regardless of corpus shape (see the module comment).
+    ``n_tables=None`` pairs the table count with the plane count via
+    :func:`adaptive_tables`, holding near-dup recall as planes grow
+    (a fixed 8 tables at 12 planes would drop cosine-0.85 recall to
+    ~0.56). The corpus size comes from one ``v.count()`` over the
+    just-persisted quantized frame — the sizing probe doubles as the
+    cache materialization pass, so adaptive sizing adds no extra
+    source scan."""
+    # persist the quantized-vector table FIRST: it feeds the sizing
+    # probe, the bucket derivation AND both verification sides; without
+    # the barrier each consumer re-runs the scan+quantize — measured 4
+    # embedding scans; with it, ONE (the re-derivations off the cache
+    # are map-only). Same footprint as the vectors themselves; spills
     # rather than OOMs. Callers clear cache between queries.
     v = quantized_vectors(df, id_col, vec_col).persist()
+    if n_planes is None:
+        n_planes = adaptive_planes(v.count())
+    if n_tables is None:
+        n_tables = adaptive_tables(n_planes)
     buckets = lsh_table_buckets(v.select("vec_id", "vq"), n_tables, n_planes, dim)
     a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
     b = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as ops
 from ..operators import similarity as sim_ops
 from .base import register, t
-from .dedup import _COSINE_LSH_SQL, _COSINE_THRESHOLD, _LSH_TABLES
+from .dedup import _COSINE_LSH_SQL, _COSINE_THRESHOLD
 
 _DIGIT_RUN = "[0-9]+"
 _N_BENCH = 10  # doc_id < 10 is the held-out "benchmark" set
@@ -219,7 +219,7 @@ def dedup_semantic_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     pairs = sim_ops.cosine_pairs_lsh(
         emb, "vec_id", "embedding", _COSINE_THRESHOLD,
-        n_tables=_LSH_TABLES, n_planes=None,
+        n_tables=None, n_planes=None,
     ).select("vec_a", "vec_b")
     comp = connected_components(
         pairs, emb.select("vec_id"), src="vec_a", dst="vec_b",

@@ -462,20 +462,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------
 
-# LSH gating parameters (identical on both engines): 8 independent
-# hash tables; the plane count per table is SCALE-ADAPTIVE — the
-# smallest p in [6, 15] with 2^p * 64 >= n_vectors (operators.
-# similarity.adaptive_planes; the oracle mirrors it as the integer
-# threshold ladder _PLANES_CASE_SQL, generated from the SAME
-# constants, lockstep-pinned by tests/test_oracle_parity.py). Signs
-# come from the portable md5 hash of the global plane index. Every
-# driver corpus (n <= 4096) sits at the 6-plane floor, where recall
-# at cosine c is 1-(1-p^6)^8, p=1-acos(c)/pi -> ~0.998 at c=0.9; a
-# FIXED 6 planes, though, has a candidate floor of ~n^2/64 per table
-# for ANY corpus (64 buckets, convexity of sum-of-C(bucket,2)), which
-# is why the plane count must grow with log2(n) for the gate to stay
-# selective at the 100x corpus (200k vectors -> 12 planes).
-_LSH_TABLES = 8
+# LSH gating parameters (identical on both engines): BOTH dimensions
+# are SCALE-ADAPTIVE — the plane count per table is the smallest p in
+# [6, 15] with 2^p * 64 >= n_vectors (operators.similarity.
+# adaptive_planes), and the table count is amplified alongside via
+# the integer ladder operators.similarity.LSH_TABLES_LADDER (8 tables
+# at the 6-plane floor, 26 at 12 planes) so near-dup recall holds as
+# planes grow — 1-(1-p^planes)^tables with p=1-acos(c)/pi stays
+# >= 0.92 at cosine 0.85 across every rung, where a FIXED 8 tables
+# would fall to ~0.56 at 12 planes. The oracle mirrors both as
+# integer threshold CASE ladders generated from the SAME constants,
+# lockstep-pinned by tests/test_oracle_parity.py. Signs come from
+# the portable md5 hash of the global plane index. Every driver
+# corpus (n <= 4096) sits at the 6-plane/8-table floor; a FIXED 6
+# planes has a candidate floor of ~n^2/64 per table for ANY corpus
+# (64 buckets, convexity of sum-of-C(bucket,2)), which is why the
+# plane count must grow with log2(n) for the gate to stay selective
+# at the 100x corpus (200k vectors -> 12 planes x 26 tables).
+_LSH_TABLES = 8  # the floor-rung table count (historical 8x6 config)
 _PLANES_CASE_SQL = (
     "CASE "
     + " ".join(
@@ -485,6 +489,22 @@ _PLANES_CASE_SQL = (
         )
     )
     + f" ELSE {sim_ops.LSH_PLANES_CAP} END"
+)
+_TABLES_CASE_SQL = (
+    "CASE np "
+    + " ".join(
+        f"WHEN {p} THEN "
+        f"{sim_ops.LSH_TABLES_LADDER[p - sim_ops.LSH_PLANES_FLOOR]}"
+        for p in range(
+            sim_ops.LSH_PLANES_FLOOR, sim_ops.LSH_PLANES_CAP + 1
+        )
+    )
+    + " END"
+)
+# range bound for the global sign index: the max tables*planes rung
+_MAX_SIGNS = max(
+    sim_ops.LSH_TABLES_LADDER[p - sim_ops.LSH_PLANES_FLOOR] * p
+    for p in range(sim_ops.LSH_PLANES_FLOOR, sim_ops.LSH_PLANES_CAP + 1)
 )
 
 # List-based throughout (the same move as the MinHash list_intersect
@@ -508,18 +528,18 @@ _COSINE_LSH_SQL = f"""
     norms AS MATERIALIZED (
       SELECT vec_id, SUM(xq * xq) AS nrm FROM e GROUP BY vec_id),
     params AS MATERIALIZED (
-      SELECT {_PLANES_CASE_SQL} AS np
-      FROM (SELECT COUNT(*) AS n FROM embeddings)
+      SELECT np, {_TABLES_CASE_SQL} AS nt
+      FROM (SELECT {_PLANES_CASE_SQL} AS np
+            FROM (SELECT COUNT(*) AS n FROM embeddings))
     ),
     signs AS (
       SELECT g.j // p.np AS tbl, g.j % p.np AS bit, d.i,
              CASE WHEN {hash64_sql("concat(g.j, '_', d.i)")} % 2 = 1
                   THEN 1 ELSE -1 END AS sgn
-      FROM (SELECT unnest(range(0,
-                {_LSH_TABLES * sim_ops.LSH_PLANES_CAP})) AS j) g
+      FROM (SELECT unnest(range(0, {_MAX_SIGNS})) AS j) g
       CROSS JOIN params p
       CROSS JOIN (SELECT unnest(range(0, 64)) AS i) d
-      WHERE g.j < {_LSH_TABLES} * p.np
+      WHERE g.j < p.nt * p.np
     ),
     slists AS MATERIALIZED (
       SELECT tbl, bit, list(sgn ORDER BY i) AS sl
@@ -568,18 +588,23 @@ _COSINE_LSH_SQL = f"""
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.45), candidates
-    gated by multi-table hyperplane LSH (8 tables, scale-adaptive
-    plane count — 6 at every driver corpus, growing with log2(n) so
-    candidates stay O(n) instead of hitting the fixed-plane n^2/2^p
-    floor) and verified with exact int64 dots — never O(n^2). The
-    exact brute-force pair scan (operators.similarity.cosine_pairs)
+    gated by multi-table hyperplane LSH with BOTH dimensions
+    scale-adaptive (8 tables x 6 planes at every driver corpus;
+    planes grow with log2(n) so candidates stay O(n) instead of
+    hitting the fixed-plane n^2/2^p floor, and tables amplify in
+    lockstep — LSH_TABLES_LADDER — so near-dup recall holds: >= 0.92
+    at cosine 0.85 across every rung; recall at THIS query's low 0.45
+    threshold is ~0.46 at the floor decaying to ~0.13 at 12 planes,
+    the inherent LSH amplification economics, see cosine_pairs_lsh)
+    and verified with exact int64 dots — never O(n^2). The exact
+    brute-force pair scan (operators.similarity.cosine_pairs)
     remains the in-repo recall oracle (tests/test_similarity.py
     planted-pair fixture). Delegates to
     operators.similarity.cosine_pairs_lsh."""
     emb = t(spark, sf_dir, "embeddings")
     return sim_ops.cosine_pairs_lsh(
         emb, "vec_id", "embedding", _COSINE_THRESHOLD,
-        n_tables=_LSH_TABLES, n_planes=None,
+        n_tables=None, n_planes=None,
     )
 
 

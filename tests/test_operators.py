@@ -135,6 +135,29 @@ class TestCosineLshRecall:
         missed = [p for p in planted if p not in got]
         assert missed == [], f"adaptive gate dropped planted pairs: {missed}"
 
+    def test_recall_pinned_at_the_100x_rung(self, spark):
+        """Measured recall AT the scale regime's parameters (12
+        planes, the 100x rung), not just the 6–7-plane floor the
+        other pins exercise. With tables amplified in lockstep
+        (adaptive_tables(12) = 26) the per-pair miss probability at
+        cosine ~0.95 is (1 - 0.899^12)^26 ~ 2e-4, so every planted
+        pair surviving is the EXPECTED outcome and a measured-recall
+        floor of 0.9 regression-guards it; at the old fixed 8 tables
+        the same gate missed ~7% of pairs per table-set — the recall
+        collapse the ladder exists to prevent. Signs are md5-derived,
+        so the measurement is deterministic for this fixture."""
+        from bend_archiver_spark.operators.similarity import adaptive_tables
+
+        df, planted = self._fixture(spark, n_base=150, n_planted=20)
+        out = cosine_pairs_lsh(
+            df, "vec_id", "embedding", 0.85, n_tables=None, n_planes=12
+        )
+        got = {(r.vec_a, r.vec_b) for r in out.collect()}
+        hits = sum(1 for p in planted if p in got)
+        recall = hits / len(planted)
+        assert adaptive_tables(12) == 26
+        assert recall >= 0.9, f"12-plane recall {recall} below pinned floor"
+
     def test_lsh_pairs_subset_of_bruteforce(self, spark):
         df, _ = self._fixture(spark, n_base=60, n_planted=8)
         brute = {
@@ -379,6 +402,38 @@ class TestConnectedComponents:
                 for r in connected_components(edges, nodes).collect()
             }
             assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    def test_reliable_checkpoint_mode(self, spark, tmp_path):
+        """reliable_checkpoint=True truncates iteration lineage through
+        the fault-tolerant checkpoint store (survives executor loss on
+        a real cluster, unlike localCheckpoint whose blocks die with
+        their executor): same fixpoint, and checkpoint files actually
+        land in the configured dir."""
+        import os
+
+        from bend_archiver_spark.operators.graph import connected_components
+
+        ckpt = str(tmp_path / "ckpt")
+        spark.sparkContext.setCheckpointDir(ckpt)
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(10, 19)], ["doc_a", "doc_b"]
+        )
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(10, 20)], ["doc_id"]
+        )
+        out = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(
+                edges, nodes, reliable_checkpoint=True
+            ).collect()
+        }
+        assert all(out[i] == 10 for i in range(10, 20))
+        written = [
+            f
+            for root, _dirs, files in os.walk(ckpt)
+            for f in files
+        ]
+        assert written, "no checkpoint files written to the reliable store"
 
 
 class TestPrefixSum:

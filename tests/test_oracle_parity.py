@@ -101,3 +101,57 @@ class TestAdaptivePlanesLockstep:
         # and the scale points the sweeps run at
         assert adaptive_planes(20_000) == 9  # 10x
         assert adaptive_planes(200_000) == 12  # 100x
+
+
+class TestAdaptiveTablesLockstep:
+    """The table count amplifies alongside the plane count (holding
+    near-dup recall as the gate narrows); both engines must walk the
+    SAME integer ladder, and the hardcoded ladder must equal the
+    amplification formula it documents."""
+
+    def test_ladder_matches_amplification_formula(self):
+        # ceil(8 * (1/p*)^(p - 6)), p* = 1 - acos(design)/pi: the
+        # Indyk–Motwani amplification holding T * p*^planes constant
+        import math
+
+        from bend_archiver_spark.operators.similarity import (
+            LSH_DESIGN_COSINE,
+            LSH_PLANES_CAP,
+            LSH_PLANES_FLOOR,
+            LSH_TABLES_LADDER,
+        )
+
+        p_star = 1 - math.acos(LSH_DESIGN_COSINE) / math.pi
+        for p in range(LSH_PLANES_FLOOR, LSH_PLANES_CAP + 1):
+            want = math.ceil(8 * (1 / p_star) ** (p - LSH_PLANES_FLOOR) - 1e-9)
+            got = LSH_TABLES_LADDER[p - LSH_PLANES_FLOOR]
+            assert got == want, (p, got, want)
+
+    def test_tables_case_ladder_matches_python(self):
+        import duckdb
+
+        from bend_archiver_spark.operators.similarity import (
+            LSH_PLANES_CAP,
+            LSH_PLANES_FLOOR,
+            adaptive_tables,
+        )
+        from bend_archiver_spark.queries.dedup import _TABLES_CASE_SQL
+
+        rows = ", ".join(
+            f"({p})" for p in range(LSH_PLANES_FLOOR, LSH_PLANES_CAP + 1)
+        )
+        got = duckdb.sql(
+            f"SELECT np, {_TABLES_CASE_SQL} AS nt"
+            f" FROM (VALUES {rows}) t(np) ORDER BY np"
+        ).fetchall()
+        for np, nt in got:
+            assert nt == adaptive_tables(np), (np, nt, adaptive_tables(np))
+
+    def test_floor_and_sweep_rungs(self):
+        # driver corpora stay at the historical 8-table floor; the
+        # 10x/100x sweep rungs land at 15 and 26 tables
+        from bend_archiver_spark.operators.similarity import adaptive_tables
+
+        assert adaptive_tables(6) == 8
+        assert adaptive_tables(9) == 15  # 10x (20k vectors)
+        assert adaptive_tables(12) == 26  # 100x (200k vectors)
