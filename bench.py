@@ -141,6 +141,33 @@ _SF01_R11_MEDIAN_ANCHOR = {
 }
 
 
+def _machine_state() -> dict:
+    """Self-labeling for the artifact: three rounds of verdicts burned
+    tokens re-litigating contended runs (r11: 12.38 s anchored
+    contended vs 7.88 s idle on the same code) because the JSON line
+    carried no evidence of machine state. Loadavg is sampled at both
+    ends of the run; 1-min load >~1 at start, or a large free-memory
+    swing, means the numbers are NOT comparable to idle anchors."""
+    state: dict = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        state["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
+    except OSError:  # pragma: no cover
+        pass
+    try:
+        mem: dict[str, int] = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                if k in ("MemAvailable", "Cached", "MemFree"):
+                    mem[k] = int(v.strip().split()[0]) // 1024
+        state["mem_available_mb"] = mem.get("MemAvailable")
+        state["page_cache_mb"] = mem.get("Cached")
+    except OSError:  # pragma: no cover
+        pass
+    return state
+
+
 def _sample_stats(samples: list[float]) -> dict[str, float]:
     """(best, median, spread) over the run's iterations. The spread
     (max - min) is what lets a round-over-round drift be attributed to
@@ -214,6 +241,7 @@ def find_regressions(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    machine_start = _machine_state()
     spark = get_spark("bench")
 
     timings: dict[str, float] = {}
@@ -294,6 +322,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     regressions = find_regressions(timings, sf, stats)
+    if regressions:
+        # every flagged row carries the run's own machine evidence, so
+        # a contended-run artifact indicts itself instead of burning a
+        # verdict cycle (r11: 8 spurious flags at loadavg ~30)
+        for row in regressions.values():
+            row["machine_start"] = machine_start
     # round-over-round comparisons must use the r01-anchored subset:
     # `value` grows whenever a round promotes new queries to headline
     # status (r05 added dedup_cross_corpus_minhash, pipeline_curate_v2)
@@ -317,6 +351,10 @@ def main() -> None:
         # `gates` names which anchor set tripped); treat like a
         # failing test, not a footnote
         "regressions": regressions,
+        # machine state at start/end: numbers are only comparable to
+        # the idle-machine anchors when start 1-min loadavg is ~0 —
+        # check this BEFORE reading a drift as real
+        "machine": {"start": machine_start, "end": _machine_state()},
     }
     if sf == 0.1:
         # both suite-level ratios, so the artifact shows the

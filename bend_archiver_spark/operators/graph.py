@@ -35,6 +35,7 @@ def connected_components(
     dst: str = "doc_b",
     node_col: str = "doc_id",
     max_iter: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components by min-label propagation.
 
@@ -45,14 +46,29 @@ def connected_components(
     Returns (``node_col``, ``component_id``) where ``component_id`` is
     the minimum vertex id reachable from the node — the unique
     fixpoint, independent of partitioning and iteration order.
-    """
+
+    Fault tolerance: iteration state is truncated with
+    ``localCheckpoint`` by default — blocks live on executors, so an
+    executor LOSS mid-run kills the lineage and fails the job (fine
+    single-box and for short runs; a restart recomputes). For long
+    cluster runs pass ``reliable_checkpoint=True`` to write each
+    round's state to ``sparkContext.setCheckpointDir``'s fault-tolerant
+    store (HDFS/object store) instead — iterations then survive
+    executor loss at the cost of one distributed write per round.
+    Requires the caller to have set a checkpoint dir."""
     und = edges.select(
         F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
     )
     und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    def _barrier(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint()
+        return df.localCheckpoint()
+
     # materialize the edge list once: its lineage is the (expensive)
     # pair-finding pipeline, and every propagation round re-reads it
-    und = und.localCheckpoint()
+    und = _barrier(und)
     labels = nodes.select(
         F.col(node_col).cast("bigint").alias("node")
     ).withColumn("label", F.col("node"))
@@ -72,8 +88,8 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("neigh_min"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
+        labels = _barrier(labels)
         # exact, order-independent convergence probe: labels are
         # monotonically non-increasing, so an unchanged sum == fixpoint
         cur_sum = labels.agg(

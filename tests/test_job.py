@@ -293,3 +293,69 @@ class TestDecimalSplitKey:
         report = FileArchiveJob(spark, cfg, li).run(check_idempotency=False)
         assert report.verify.is_correct
         assert report.source_rows > 0
+
+    def test_archive_at_uint64_ceiling_with_fingerprint(
+        self, spark, tmp_path
+    ):
+        """The reference's NullUint64 core case (source/mysql.go:
+        410-458): split keys just under 2^64. Archives a table whose
+        keys cluster at 2^64-2 through the full job — bounds probe
+        (Decimal coercion), density-adjusted batching, range-
+        partitioned write — then verifies count AND content
+        fingerprint, and that the max key survives bit-exact (a
+        double or int64 hop anywhere would truncate it)."""
+        from decimal import Decimal
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        base = 2**64 - 2
+        rows = [(Decimal(base - 7 * i), f"v{i}") for i in range(300)]
+        schema = T.StructType(
+            [
+                T.StructField("id", T.DecimalType(20, 0)),
+                T.StructField("val", T.StringType()),
+            ]
+        )
+        src = spark.createDataFrame(rows, schema)
+        tgt = str(tmp_path / "u64")
+        cfg = _cfg(
+            tgt,
+            source_table="u64",
+            source_split_key="id",
+            source_where_condition="",
+            batch_size=100,
+            verify_fingerprint=True,
+        )
+        report = FileArchiveJob(spark, cfg, src).run(check_idempotency=False)
+        assert report.verify.is_correct
+        assert report.verify.fingerprints_match
+        assert report.source_rows == 300
+        dst = spark.read.parquet(tgt).select("id", "val")
+        assert dst.count() == 300
+        assert dst.agg(F.max("id")).first()[0] == Decimal(base)
+
+    def test_split_predicates_golden_above_int64(self):
+        """Golden predicate strings with bounds past 2^63 — the exact
+        digit strings, so any int64/double truncation in the planner
+        shows as a changed literal (parity: the uint64 branch of
+        splitConditionSql, source/mysql.go:410-458)."""
+        from bend_archiver_spark.planner import (
+            plan_jdbc_partitions,
+            split_condition,
+        )
+
+        mn, mx = 2**64 - 100, 2**64 - 2
+        conds = split_condition("id", 50, mn, mx)
+        assert conds[0] == (
+            "(id >= 18446744073709551516 and id < 18446744073709551566)"
+        )
+        # the trailing min>=max window keeps A6's inclusive-edge quirk,
+        # now expressed in digits only Python ints can carry
+        assert conds[-1] == (
+            "(id >= 18446744073709551616 and id <= 18446744073709551614)"
+        )
+        plan = plan_jdbc_partitions("id", mn, mx, 99, batch_size=50)
+        assert plan.num_partitions >= 1
+        for c in plan.predicates:
+            assert "E+" not in c and "." not in c  # no float formatting
