@@ -167,14 +167,28 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "tok"
     )
     targ = sh.filter(F.col("doc_id") >= _N_BENCH)
-    return (
+    # the contaminated-overlap pairs are tiny by construction (hits
+    # against a bounded benchmark); persist them so the two distinct
+    # counts below are cache reads, not two corpus-stream passes
+    # through the broadcast join
+    pairs = (
         targ.join(F.broadcast(bench), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("tok").alias("n_overlap_ngrams"),
-            F.countDistinct("bench_id").alias("n_benchmark_docs"),
-        )
+        .select("doc_id", "tok", "bench_id")
+        .persist()
     )
+    # SEPARATE single-distinct aggregates: two distincts in one
+    # Aggregate go through the Expand rewrite, which doubles the
+    # aggregated stream and orders its group ids by per-process
+    # expression hash — nondeterministic plan text that broke the
+    # recorded fingerprints (PLANS.json). Both aggs hash-partition by
+    # doc_id, so the closing join reuses one exchange.
+    n_tok = pairs.groupBy("doc_id").agg(
+        F.countDistinct("tok").alias("n_overlap_ngrams")
+    )
+    n_bench = pairs.groupBy("doc_id").agg(
+        F.countDistinct("bench_id").alias("n_benchmark_docs")
+    )
+    return n_tok.join(n_bench, "doc_id")
 
 
 # lshp and sem_edges are MATERIALIZED: DuckDB 1.0 inlines CTEs per

@@ -320,15 +320,19 @@ def profile_chi2_independence(
         .crossJoin(F.broadcast(n))
         .select(contrib.alias("contrib"))
     )
-    dof = (
-        obs.agg(
-            (
-                (F.count_distinct("event_type") - 1)
-                * (F.count_distinct("dow") - 1)
-            )
-            .cast("bigint")
-            .alias("dof")
-        )
+    # the two distinct counts run as SEPARATE single-distinct
+    # aggregates over the persisted cell table: two distincts in one
+    # Aggregate go through RewriteDistinctAggregates' Expand, which
+    # (a) doubles the input stream at scale and (b) assigns its group
+    # ids in per-process hash order — the plan text itself is
+    # nondeterministic across JVMs, which broke the recorded plan
+    # fingerprints (PLANS.json)
+    dt = obs.agg(
+        (F.count_distinct("event_type") - 1).cast("bigint").alias("dt")
+    )
+    dd = obs.agg((F.count_distinct("dow") - 1).cast("bigint").alias("dd"))
+    dof = dt.crossJoin(dd).select(
+        (F.col("dt") * F.col("dd")).cast("bigint").alias("dof")
     )
     return dof.crossJoin(
         cells.agg(F.sum("contrib").cast("double").alias("chi2"))

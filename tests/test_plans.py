@@ -1601,6 +1601,40 @@ class TestSuiteWideCartesianBan:
         assert offenders == []
 
 
+class TestPlanLedgerCurrent:
+    def test_recorded_fingerprints_match_live_plans(self, spark, sf_dir):
+        """Every registry query's live canonicalized optimized plan
+        must hash to its PLANS.json record — the enforcement half of
+        the mechanized re-tier ledger (__spark_entry__ docstring). A
+        plan change without `tools/plan_fingerprints.py --update
+        --round N` fails HERE, instead of silently keeping the query
+        in emission tier 2 with a stale green row (the round-10
+        hand-bookkeeping bug). Builds every plan, executes nothing
+        beyond construction-time sizing probes (~2-4 min)."""
+        import json
+
+        from tools.plan_fingerprints import plan_fingerprint
+
+        with open("PLANS.json") as f:
+            ledger = json.load(f)
+        spark.catalog.clearCache()  # cached relations change plans
+        mismatched = {}
+        for name, spec in REGISTRY.items():
+            try:
+                df = spec.spark(spark, sf_dir)
+                live = plan_fingerprint(df)
+            finally:
+                spark.catalog.clearCache()
+            want = ledger["queries"].get(name, {}).get("hash")
+            if live != want:
+                mismatched[name] = {"recorded": want, "live": live}
+        assert mismatched == {}, (
+            "plans changed without re-recording the ledger — run "
+            "`python tools/plan_fingerprints.py --update --round N` "
+            f"so these re-earn driver rows: {sorted(mismatched)}"
+        )
+
+
 class TestCurateDocumentsSingleShuffle:
     def test_no_joins_one_exchange(self, spark, sf_dir):
         """Round 7: the quality gate is an inline scan predicate and

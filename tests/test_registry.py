@@ -53,12 +53,70 @@ def test_emission_tier_one_fits_driver_cap():
     tier1 = [n for n in names if n not in entry._CHECKED_GOOD]
     assert len(tier1) <= EMISSION_CAP, (
         f"{len(tier1)} unchecked queries exceed the ~{EMISSION_CAP}-row "
-        "driver cap — fold the latest CORRECTNESS greens into "
-        "_CHECKED_GOOD (see __spark_entry__) or the overflow never gets "
-        "a correctness row"
+        "driver cap — too many plans changed in one round; land the "
+        "changes across rounds or the overflow never gets a "
+        "correctness row"
     )
     # and tier 1 must lead the emission order
     assert names[: len(tier1)] == tier1
+
+
+def test_emission_tier_two_is_stalest_first():
+    """Tier 2 re-confirms the least-recently-verified greens first —
+    the rotation that burned the r01-era staleness tail by round 11."""
+    names = list(entry.queries())
+    tier2 = [n for n in names if n in entry._CHECKED_GOOD]
+    ages = [entry._GREEN_ROUND.get(n, 0) for n in tier2]
+    assert ages == sorted(ages)
+
+
+class TestPlanFingerprints:
+    """The recorded plan ledger (PLANS.json) must match the registry:
+    every query present, and — enforced by the Spark-session test in
+    test_plans.py::TestPlanLedgerCurrent — every recorded hash equal to
+    the live optimized plan. Together these mechanize the re-tier rule
+    the hand-maintained _CHANGED_* sets kept getting wrong: a plan
+    change lands in the ledger (bumping the query's round, demoting it
+    to tier 1) or the suite fails."""
+
+    def test_ledger_covers_registry_exactly(self):
+        import json
+
+        with open("PLANS.json") as f:
+            ledger = json.load(f)
+        assert set(ledger["queries"]) == set(REGISTRY)
+
+    def test_changed_set_is_tier_one(self):
+        """Every query the ledger marks changed this round must sit in
+        emission tier 1 (no green row newer than the change)."""
+        import json
+
+        with open("PLANS.json") as f:
+            ledger = json.load(f)
+        for name in ledger["changed"]:
+            assert name not in entry._CHECKED_GOOD, (
+                f"{name} changed in round {ledger['round']} but is "
+                "emission tier 2 — its green row predates the change"
+            )
+
+    def test_x100_stale_list_is_accurate(self):
+        """The ledger's 100x-staleness lint must equal a fresh
+        recomputation from the sweep artifacts — this is the
+        machine-checked form of 'queries keep old 100x rows only while
+        their plans are unchanged'."""
+        import json
+
+        from tools.plan_fingerprints import newest_green_x100_round
+
+        with open("PLANS.json") as f:
+            ledger = json.load(f)
+        x100 = newest_green_x100_round()
+        want = sorted(
+            q
+            for q, ent in ledger["queries"].items()
+            if ent["round"] > x100.get(q, 0)
+        )
+        assert ledger["x100_stale"] == want
 
 
 def test_headline_queries_registered_and_oracled():

@@ -35,7 +35,7 @@ from collections import defaultdict
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-ARTIFACT = os.path.join(REPO, "X100_SWEEP_r11.json")
+ARTIFACT = os.path.join(REPO, "X100_SWEEP_r12.json")
 
 # Oracles that are legitimately SUPERLINEAR at the 100x corpus — NONE
 # as of round 11. The three round-10 bounds were closed by engine /
@@ -106,6 +106,13 @@ def run_batch(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", default=None)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated query names: targeted re-sweep of "
+        "plan-changed queries (PLANS.json `changed`), merged into "
+        "their families' artifact rows",
+    )
     ap.add_argument("--timeout", type=int, default=2400)
     ap.add_argument(
         "--retry-timeout",
@@ -159,23 +166,35 @@ def main() -> int:
     selected = (
         args.families.split(",") if args.families else sorted(fam)
     )
+    only = set(args.queries.split(",")) if args.queries else None
+    if only is not None:
+        # targeted re-sweep (plan-changed queries from PLANS.json):
+        # keep family grouping in the artifact, run only the named
+        # members, merge verdicts into any existing family rows
+        selected = sorted(
+            f for f in fam if any(n in only for n in fam[f])
+        )
     results: dict[str, dict] = {}
     if os.path.exists(ARTIFACT):
         with open(ARTIFACT) as f:
             results = json.load(f)
 
     for family in selected:
-        members = [
-            n for n in fam[family] if n not in X100_ORACLE_BOUNDS
-        ]
-        excluded = [n for n in fam[family] if n in X100_ORACLE_BOUNDS]
+        pool = (
+            [n for n in fam[family] if n in only]
+            if only is not None
+            else fam[family]
+        )
+        members = [n for n in pool if n not in X100_ORACLE_BOUNDS]
+        excluded = [n for n in pool if n in X100_ORACLE_BOUNDS]
         if not members:
-            results[family] = {
-                "green": 0,
-                "total": 0,
-                "excluded": excluded,
-                "verdicts": {},
-            }
+            if only is None:
+                results[family] = {
+                    "green": 0,
+                    "total": 0,
+                    "excluded": excluded,
+                    "verdicts": {},
+                }
             continue
         print(
             f"=== {family}: {len(members)} queries"
@@ -197,12 +216,21 @@ def main() -> int:
         for n in members:
             verdicts.setdefault(n, "TIMEOUT" if timed_out else "CRASH")
         wall = round(time.monotonic() - t0, 1)
+        if only is not None and family in results:
+            # targeted mode: merge the re-swept verdicts into the
+            # existing family row instead of dropping prior members
+            merged = dict(results[family].get("verdicts", {}))
+            merged.update(verdicts)
+            verdicts = merged
+            excluded = sorted(
+                set(results[family].get("excluded", [])) | set(excluded)
+            )
         green = sum(
             1 for v in verdicts.values() if v in ("OK", "rows-only")
         )
         results[family] = {
             "green": green,
-            "total": len(members),
+            "total": len(verdicts),
             "wall_sec": wall,
             "excluded": excluded,
             "verdicts": verdicts,
