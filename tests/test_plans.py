@@ -484,9 +484,10 @@ class TestQuality2Plans:
         self, spark, sf_dir
     ):
         """The (doc_id, c, g) bigram stream sits behind a persist
-        barrier (three consumers; without it the explode+md5 front end
-        re-runs for each), count tables join back without a cartesian,
-        and the one-row vocab total broadcasts."""
+        barrier (two consumers — the (c, g) type-count reduce and the
+        scoring probe; without it the explode+md5 front end re-runs
+        for each), count tables join back without a cartesian, and
+        the one-row vocab total broadcasts."""
         plan = plan_of(spark, sf_dir, "text_bigram_lm_bits")
         assert "InMemoryTableScan" in plan
         assert "CartesianProduct" not in plan
