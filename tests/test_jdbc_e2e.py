@@ -433,3 +433,56 @@ class TestCancellationDestructiveLast:
         # no second copy was appended, source never mutated
         assert spark.read.parquet(tgt).count() == N_ROWS
         shutil.rmtree(tgt, ignore_errors=True)
+
+
+class TestDecimal20JdbcE2E:
+    def test_uint64_ceiling_key_split_round_trip(self, spark, tmp_path):
+        """DECIMAL(20,0) split keys just under 2^64 over a LIVE Derby
+        wire — the JDBC twin of the reference's NullUint64 core case
+        (source/mysql.go:410-458): bounds probe returns BigDecimals,
+        the planner coerces past int64, the generated range predicates
+        carry 20-digit literals Derby must evaluate, and the archived
+        max key round-trips bit-exact."""
+        from decimal import Decimal
+
+        db_path = str(tmp_path / "derbyu64")
+        jvm = spark._sc._jvm  # noqa: SLF001 - raw JDBC seeding
+        conn = jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{db_path};create=true"
+        )
+        st = conn.createStatement()
+        st.execute(
+            "CREATE TABLE UTAB (ID DECIMAL(20,0) NOT NULL PRIMARY KEY, "
+            "V INT)"
+        )
+        ps = conn.prepareStatement("INSERT INTO UTAB VALUES (?, ?)")
+        base = 2**64 - 2
+        n = 120
+        for i in range(n):
+            ps.setBigDecimal(1, jvm.java.math.BigDecimal(str(base - 7 * i)))
+            ps.setInt(2, i)
+            ps.addBatch()
+        ps.executeBatch()
+        conn.close()
+
+        tgt = str(tmp_path / "tgt_u64")
+        cfg = _cfg(db_path, tgt, source_table="UTAB", batch_size=100)
+        report = JdbcArchiveJob(spark, cfg).run()
+        assert report.verify.is_correct
+        assert report.source_rows == n
+
+        back = spark.read.parquet(tgt)
+        assert back.count() == n
+        assert [f.dataType.simpleString() for f in back.schema.fields if
+                f.name == "ID"] == ["decimal(20,0)"]
+        got_max = back.agg({"ID": "max"}).first()[0]
+        assert got_max == Decimal(base)  # no int64/double truncation
+        got_min = back.agg({"ID": "min"}).first()[0]
+        assert got_min == Decimal(base - 7 * (n - 1))
+        shutil.rmtree(tgt, ignore_errors=True)
+        try:
+            jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:{db_path};shutdown=true"
+            )
+        except Exception:
+            pass  # Derby signals successful shutdown via SQLException
