@@ -53,16 +53,43 @@ _VOLATILE = (
     (re.compile(r"/tmp/[\w./-]+"), "/tmp/X"),
     # JVM object identity hashes (e.g. functional interface lambdas)
     (re.compile(r"@[0-9a-f]{6,}"), "@x"),
+    # FileScan nodes (inside InMemoryRelation renderings of persisted
+    # subtrees) print DataFilters/Location metadata CHARACTER-truncated
+    # at a budget fixed when the cached physical plan was CREATED —
+    # exprId digit widths shift the cut point, so the same plan
+    # truncates differently depending on session age. The metadata
+    # duplicates the logical Filter/Relation nodes above it; keep only
+    # the node head + column list.
+    (re.compile(r"(FileScan \w+ \[[^\]]*\]).*"), r"\1"),
 )
 
 _EXPR_ID = re.compile(r"#\d+")
+# lambda variables of higher-order functions (x_1 in a fresh session,
+# x_400 deep into a pytest run) and common-subexpression aliases
+# (_common_expr_0 vs _common_expr_9) print as <name>_<n>#id, where n
+# is a SESSION-global counter — renumbered by first appearance like
+# exprIds. The base name is kept, so genuinely numbered columns
+# (qty_99, rev_7d) stay distinguishable from other columns; only
+# their literal digits are normalized, which no plan-change class we
+# care about hides behind.
+_LAMBDA_VAR = re.compile(r"\b([A-Za-z_]\w*?)_(\d+)(?=#)")
 
 
 def _renumber_expr_ids(p: str) -> str:
-    """ExprIds are a process-global counter; renumber by order of
-    first appearance so the same plan built in any JVM reads
-    identically while distinct attributes (self-join sides) stay
+    """ExprIds and lambda-variable counters are process/session-global
+    counters; renumber both by order of first appearance so the same
+    plan built in any JVM — or at any point in a long session — reads
+    identically, while distinct attributes (self-join sides) stay
     distinguishable."""
+    lam_seen: dict[str, str] = {}
+
+    def lam_sub(m: re.Match) -> str:
+        k = m.group(0)
+        if k not in lam_seen:
+            lam_seen[k] = f"{m.group(1)}_l{len(lam_seen)}"
+        return lam_seen[k]
+
+    p = _LAMBDA_VAR.sub(lam_sub, p)
     seen: dict[str, str] = {}
 
     def sub(m: re.Match) -> str:
@@ -74,9 +101,8 @@ def _renumber_expr_ids(p: str) -> str:
     return _EXPR_ID.sub(sub, p)
 
 
-def plan_fingerprint(df) -> str:
-    """sha256 (truncated) of the optimized logical plan with volatile
-    tokens scrubbed and exprIds renumbered by first appearance.
+def plan_text(df) -> str:
+    """The normalized optimized-plan text that gets hashed.
 
     Deliberately NOT the engine's ``canonicalized()`` form: the
     canonicalizer reorders commutative operand lists
@@ -87,11 +113,27 @@ def plan_fingerprint(df) -> str:
     regeneration. The plain optimized plan preserves the optimizer's
     deterministic output order; exprId churn (the thing canonicalized()
     exists to remove) is handled by the first-appearance renumbering."""
-    p = df._jdf.queryExecution().optimizedPlan().toString()
+    spark = df.sparkSession
+    # scan-node metadata (DataFilters/Location) renders through a
+    # fixed CHARACTER budget (spark.sql.maxMetadataStringLength=100),
+    # and exprId digit WIDTHS shift the truncation point — a plan
+    # printed early in a session truncates at a different spot than
+    # the same plan printed after the id counter grows. Lift the
+    # budget while rendering so nothing truncates.
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     for rx, sub in _VOLATILE:
         p = rx.sub(sub, p)
-    p = _renumber_expr_ids(p)
-    return hashlib.sha256(p.encode()).hexdigest()[:16]
+    return _renumber_expr_ids(p)
+
+
+def plan_fingerprint(df) -> str:
+    """sha256 (truncated) of :func:`plan_text`."""
+    return hashlib.sha256(plan_text(df).encode()).hexdigest()[:16]
 
 
 def fingerprint_all(spark, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
