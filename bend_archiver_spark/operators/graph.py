@@ -89,6 +89,27 @@ def connected_components(
                 ).alias("label"),
             )
         )
+        # pointer jumping: also adopt the label OF the current label
+        # (a node in the same component, so membership is preserved).
+        # Edge propagation alone moves the min ONE hop per round —
+        # the 100x sweep caught a 340k-edge near-dup graph whose
+        # longest chains exceed 25 hops, so max_iter silently returned
+        # unmerged components (29120 vs the true 29097). With the
+        # compression hop the reachable frontier DOUBLES per round:
+        # 25 rounds cover diameter ~2^25 at one extra label-table
+        # self-join per round (node-sized, smaller than the edge join).
+        ptr = labels.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        labels = (
+            labels.join(ptr, labels["label"] == ptr["pnode"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
         labels = _barrier(labels)
         # exact, order-independent convergence probe: labels are
         # monotonically non-increasing, so an unchanged sum == fixpoint

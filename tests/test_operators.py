@@ -403,6 +403,24 @@ class TestConnectedComponents:
             }
             assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
 
+    def test_long_chain_converges_by_pointer_jumping(self, spark):
+        """A 300-node path with max_iter=12: pure edge propagation
+        moves the min one hop per round and would stop 288 hops short;
+        the pointer-jumping hop doubles reach per round (2^12 >> 300),
+        so the whole chain must collapse to one component. Regression
+        guard for the 100x failure where a 340k-edge near-dup graph's
+        chains exceeded 25 hops and max_iter silently returned
+        unmerged components."""
+        from bend_archiver_spark.operators.graph import connected_components
+
+        n = 300
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        out = connected_components(edges, nodes, max_iter=12).collect()
+        assert {r["component_id"] for r in out} == {0}
+
     def test_reliable_checkpoint_mode(self, spark, tmp_path):
         """reliable_checkpoint=True truncates iteration lineage through
         the fault-tolerant checkpoint store (survives executor loss on
